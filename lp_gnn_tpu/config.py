@@ -1,0 +1,131 @@
+"""Configuration / experiment environment (role of reference utils.py:684-854).
+
+Same CLI surface and derived-path schema as the reference ``Environment`` so the
+on-disk dataflow contract (SURVEY.md §1) is preserved:
+
+    {data_prefix}/{dataset}/mps/*.mps[.gz]
+    {data_prefix}/{dataset}/{solver_prefix}basis[-mM]/*.bas
+    {data_prefix}/{dataset}/log/{solver_prefix}no-bas[-mM]/*.log
+    {data_prefix}/{dataset}/{solver_prefix}inp_tgt[-mM]/{raw,processed}/*.pk
+    {log_prefix}/{exp_nm}/...
+
+Model / loss / inference-manager selection is by *name lookup in registries*
+instead of the reference's ``eval()`` of CLI strings (utils.py:723 ``eval``
+pattern, train.py:79,125) — same expressiveness, no arbitrary code execution.
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import logging
+import os
+import re
+from typing import Any
+
+from .utils.misc import increment_path, init_seeds, mkdir_p
+
+LP_METHOD_MAP = {"dual": 1, "primal": 4}
+
+
+@dataclasses.dataclass
+class Config:
+    # experiment
+    exp_nm: str = "tmp"
+    dataset: str = "None"
+    data_prefix: str = "lp-dataset"
+    log_prefix: str = "runs"
+    solver_prefix: str = "highs-"
+    exist_ok: int = 1
+    seed: int = 0
+    verbose: int = 0
+    skip_exist: int = 0
+    chunk: str | None = None
+    split: str = "val"            # val | trainval
+    # model / training
+    arch: str = "GCN_FC(8,8,hids=128)"
+    loss: str = "balanced"        # unbalanced | balanced | focal
+    opt: str = "adam"
+    lr: float = 1e-3
+    epochs: int = 30
+    batch_size: int = 10240 * 8 * 4        # max seed nodes per sampled batch
+    edge_num_thresh: float = 4e6 * 3       # full-graph vs sampled switch
+    num_workers: int = 0
+    load_from: str = "None"
+    fp16: int = 0                          # reference --fp16; here: bf16 compute
+    # solver
+    lp_method: int | str = 1               # 1=dual, 4=primal (run_solver.py:12)
+    inference_manager: str = "InferenceManager(0,)"
+    gW: float | None = None
+    # parallelism (new, TPU build)
+    mesh_shape: str = ""                   # e.g. "dp=4" or "edge=8"
+    # derived (filled by finalize)
+    dataset_prefix: str = ""
+    dataset_processed_prefix: str = ""
+    log_dir: str = ""
+
+    # ------------------------------------------------------------------ helpers
+    def get_method_sfx(self) -> str:
+        m = self.normalized_lp_method()
+        return "" if m == 1 else f"-m{m}"
+
+    def normalized_lp_method(self) -> int:
+        m = self.lp_method
+        if isinstance(m, str):
+            m = LP_METHOD_MAP.get(m, m)
+        return int(m)
+
+    def arch_depth(self) -> int:
+        """Parse depth from the arch string (reference train.py:108-110)."""
+        m = re.findall(r"depth=(\d+)", self.arch)
+        return int(m[0]) if m else 3
+
+    def finalize(self, make_log_dir: bool = True) -> "Config":
+        self.lp_method = self.normalized_lp_method()
+        if not self.solver_prefix.endswith("-"):
+            self.solver_prefix += "-"
+        assert self.solver_prefix == "highs-", self.solver_prefix
+        self.dataset_prefix = os.path.join(self.data_prefix, self.dataset)
+        self.dataset_processed_prefix = os.path.join(
+            self.dataset_prefix, f"{self.solver_prefix}inp_tgt{self.get_method_sfx()}")
+        log_dir = os.path.join(self.log_prefix, self.exp_nm)
+        if make_log_dir:
+            log_dir = increment_path(log_dir, exist_ok=bool(self.exist_ok))
+            mkdir_p(log_dir)
+        self.log_dir = log_dir
+        init_seeds(self.seed)
+        return self
+
+    def cvt_to_str(self) -> str:
+        """Serialize args for subprocess stages (reference utils.py:796-802)."""
+        skip = {"dataset_prefix", "dataset_processed_prefix", "log_dir"}
+        out = []
+        for f in dataclasses.fields(self):
+            if f.name in skip:
+                continue
+            v = getattr(self, f.name)
+            if v is None or v == "":
+                continue
+            out.append(f"--{f.name} {v}")
+        return " ".join(out)
+
+    def to_dict(self) -> dict[str, Any]:
+        return dataclasses.asdict(self)
+
+
+def parse_args(argv=None, make_log_dir: bool = True, **defaults) -> Config:
+    """CLI entry mirroring reference ``Environment()`` (utils.py:684-854)."""
+    cfg = Config(**defaults)
+    parser = argparse.ArgumentParser(conflict_handler="resolve")
+    for f in dataclasses.fields(cfg):
+        if f.name in ("dataset_prefix", "dataset_processed_prefix", "log_dir"):
+            continue
+        v = getattr(cfg, f.name)
+        tp = type(v) if v is not None and not isinstance(v, bool) else str
+        parser.add_argument(f"--{f.name}", type=tp if tp is not type(None) else str,
+                            default=v)
+    known, unknown = parser.parse_known_args(argv)
+    if unknown:
+        logging.warning("unknown args: %s", unknown)
+    for k, v in vars(known).items():
+        setattr(cfg, k, v)
+    return cfg.finalize(make_log_dir=make_log_dir)

@@ -1,0 +1,146 @@
+"""Static-shape padding / bucketing of bipartite graphs for XLA.
+
+This replaces the reference's dynamic-shape PyG pipeline (MyToBipartite,
+dataset.py:268-332 and NeighborLoader batches, train.py:102-116): every graph
+is padded host-side to a *bucket* shape so jit-compiled device code compiles
+once per bucket, not once per graph.
+
+A ``PaddedGraph`` carries both edge orientations precomputed:
+
+- ``(row_r, col_r, val_r)`` edges sorted by constraint (row)  -> used for
+  aggregating variable features into constraints (out[i] = sum_j A_ij x_j)
+- ``(row_c, col_c, val_c)`` edges sorted by variable (col)    -> used for the
+  transpose direction (out[j] = sum_i A_ij x_i)
+
+Sorted segment ids make ``jax.ops.segment_sum`` take the fast path
+(``indices_are_sorted=True``), and the transpose aggregation needs no
+atomics/scatter races — the TPU answer to torch_sparse's CSR/CSC dual
+(reference arch.py:71-74 transpose trick).
+
+Padding edges have val=0 and point at the last (padded) node of each side, so
+they contribute nothing; padded nodes are excluded via ``cons_mask`` /
+``vars_mask`` in losses, metrics and decoding.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import numpy as np
+
+import jax
+
+from .dataset import BipartiteGraph
+
+
+@partial(jax.tree_util.register_dataclass,
+         data_fields=["row_r", "col_r", "val_r", "row_c", "col_c", "val_c",
+                      "c_feas", "v_feas", "y_s", "y_t",
+                      "cons_mask", "vars_mask", "ncons", "nvars", "nnz",
+                      "s_bs", "t_bs"],
+         meta_fields=[])
+@dataclasses.dataclass
+class PaddedGraph:
+    # edges sorted by row (constraint)
+    row_r: np.ndarray      # (E,) int32
+    col_r: np.ndarray      # (E,) int32
+    val_r: np.ndarray      # (E,) float32
+    # same edges sorted by col (variable)
+    row_c: np.ndarray      # (E,) int32
+    col_c: np.ndarray      # (E,) int32
+    val_c: np.ndarray      # (E,) float32
+    c_feas: np.ndarray     # (M, 8) float32
+    v_feas: np.ndarray     # (N, 8) float32
+    y_s: np.ndarray        # (M,) int32
+    y_t: np.ndarray        # (N,) int32
+    cons_mask: np.ndarray  # (M,) bool — True for real constraints
+    vars_mask: np.ndarray  # (N,) bool — True for real variables
+    ncons: np.ndarray      # () int32 actual m
+    nvars: np.ndarray      # () int32 actual n
+    nnz: np.ndarray        # () int32 actual edge count
+    # seed-node counts for loss slicing on sampled subgraphs
+    # (reference dataset.py:319-326); == ncons/nvars for full graphs
+    s_bs: np.ndarray       # () int32
+    t_bs: np.ndarray       # () int32
+
+    @property
+    def m_pad(self) -> int:
+        return self.c_feas.shape[0]
+
+    @property
+    def n_pad(self) -> int:
+        return self.v_feas.shape[0]
+
+    @property
+    def e_pad(self) -> int:
+        return self.row_r.shape[0]
+
+    def bucket_key(self):
+        return (self.m_pad, self.n_pad, self.e_pad)
+
+
+def _round_up(x: int, mult: int) -> int:
+    return ((max(x, 1) + mult - 1) // mult) * mult
+
+
+def make_buckets(base: int = 256, growth: float = 1.5, max_size: int = 1 << 28):
+    """Geometric bucket sizes snapped to multiples of 128 (TPU lane width)."""
+    sizes = []
+    s = float(base)
+    while s < max_size:
+        sizes.append(_round_up(int(s), 128))
+        s *= growth
+    return sizes
+
+
+_DEFAULT_BUCKETS = make_buckets()
+
+
+def bucket_for(size: int, buckets=None) -> int:
+    """Smallest bucket >= size."""
+    buckets = buckets or _DEFAULT_BUCKETS
+    for b in buckets:
+        if b >= size:
+            return b
+    return _round_up(size, 128)
+
+
+def pad_graph(g: BipartiteGraph, m_pad: int | None = None, n_pad: int | None = None,
+              e_pad: int | None = None, buckets=None,
+              s_bs: int | None = None, t_bs: int | None = None) -> PaddedGraph:
+    """Pad a host graph to (bucketed) static shapes."""
+    m, n, e = g.ncons, g.nvars, g.nnz
+    m_pad = m_pad or bucket_for(m, buckets)
+    n_pad = n_pad or bucket_for(n, buckets)
+    e_pad = e_pad or bucket_for(e, buckets)
+    assert m_pad >= m and n_pad >= n and e_pad >= e
+
+    def pad_edges(row, col, val):
+        pr = np.full(e_pad, m_pad - 1, dtype=np.int32)
+        pc = np.full(e_pad, n_pad - 1, dtype=np.int32)
+        pv = np.zeros(e_pad, dtype=np.float32)
+        pr[:e], pc[:e], pv[:e] = row, col, val
+        return pr, pc, pv
+
+    order_r = np.lexsort((g.col, g.row))
+    order_c = np.lexsort((g.row, g.col))
+    row_r, col_r, val_r = pad_edges(g.row[order_r], g.col[order_r], g.val[order_r])
+    row_c, col_c, val_c = pad_edges(g.row[order_c], g.col[order_c], g.val[order_c])
+
+    def pad2(x, size, fill=0.0):
+        out = np.full((size,) + x.shape[1:], fill, dtype=x.dtype)
+        out[: x.shape[0]] = x
+        return out
+
+    return PaddedGraph(
+        row_r=row_r, col_r=col_r, val_r=val_r,
+        row_c=row_c, col_c=col_c, val_c=val_c,
+        c_feas=pad2(g.c_feas, m_pad), v_feas=pad2(g.v_feas, n_pad),
+        y_s=pad2(g.y_s.astype(np.int32), m_pad),
+        y_t=pad2(g.y_t.astype(np.int32), n_pad),
+        cons_mask=np.arange(m_pad) < m,
+        vars_mask=np.arange(n_pad) < n,
+        ncons=np.int32(m), nvars=np.int32(n), nnz=np.int32(e),
+        s_bs=np.int32(m if s_bs is None else s_bs),
+        t_bs=np.int32(n if t_bs is None else t_bs),
+    )

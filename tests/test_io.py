@@ -1,0 +1,108 @@
+"""MPS / .bas round-trip tests (reference parity: scripts/cvt_to_pkl.py)."""
+import numpy as np
+import pytest
+
+from lp_gnn_tpu.io.mps import read_mps, write_mps
+from lp_gnn_tpu.io.bas import (
+    read_bas, read_bas_highs, write_bas_highs, write_bas_cplex,
+    check_lb, check_ub,
+)
+from tests.conftest import random_lp
+
+
+def test_mps_roundtrip(tmp_path, rng):
+    lp = random_lp(rng, m=9, n=15, two_sided=True)
+    fn = str(tmp_path / "a.mps")
+    write_mps(lp, fn)
+    lp2 = read_mps(fn)
+    assert list(lp2.con_nms) == list(lp.con_nms)
+    assert list(lp2.var_nms) == list(lp.var_nms)
+    np.testing.assert_allclose(lp2.c, lp.c, rtol=1e-12)
+    np.testing.assert_allclose(lp2.b_l, lp.b_l, rtol=1e-12)
+    np.testing.assert_allclose(lp2.b_u, lp.b_u, rtol=1e-12)
+    np.testing.assert_allclose(lp2.lb, lp.lb, rtol=1e-12)
+    np.testing.assert_allclose(lp2.ub, lp.ub, rtol=1e-12)
+    np.testing.assert_allclose(lp2.A.toarray(), lp.A.toarray(), rtol=1e-12)
+
+
+def test_mps_fixed_sample(tmp_path):
+    """Hand-written MPS exercising E/L/G rows, RANGES, BOUNDS."""
+    text = """* comment
+NAME          TEST
+ROWS
+ N  COST
+ L  LIM1
+ G  LIM2
+ E  EQ1
+COLUMNS
+    X1  COST  1.0  LIM1  1.0
+    X1  LIM2  1.0
+    X2  COST  2.0  LIM1  1.0
+    X2  EQ1  -1.0
+    X3  COST  -1.0  LIM2  1.0  EQ1  1.0
+RHS
+    RHS  LIM1  4.0  LIM2  1.0
+    RHS  EQ1  7.0
+RANGES
+    RNG  LIM1  2.5
+BOUNDS
+ UP BND  X1  4.0
+ LO BND  X2  -1.0
+ FR BND  X3
+ENDATA
+"""
+    fn = tmp_path / "t.mps"
+    fn.write_text(text)
+    lp = read_mps(str(fn))
+    assert lp.shape == (3, 3)
+    np.testing.assert_allclose(lp.c, [1, 2, -1])
+    np.testing.assert_allclose(lp.b_l, [4.0 - 2.5, 1.0, 7.0])
+    np.testing.assert_allclose(lp.b_u, [4.0, np.inf, 7.0])
+    np.testing.assert_allclose(lp.lb, [0, -1, -np.inf])
+    np.testing.assert_allclose(lp.ub, [4, np.inf, np.inf])
+    A = lp.A.toarray()
+    np.testing.assert_allclose(A, [[1, 1, 0], [1, 0, 1], [0, -1, 1]])
+
+
+def test_bas_highs_roundtrip(tmp_path):
+    fn = str(tmp_path / "b.bas")
+    vbas = [0, 1, 2, 1, 0]
+    cbas = [1, 0, 2]
+    write_bas_highs(fn, vbas=vbas, cbas=cbas)
+    con, var = read_bas_highs(fn)
+    np.testing.assert_array_equal(con, cbas)
+    np.testing.assert_array_equal(var, vbas)
+    # read_bas dispatches on the header (cvt_to_pkl.py:187)
+    con2, var2 = read_bas(fn)
+    np.testing.assert_array_equal(con2, cbas)
+    np.testing.assert_array_equal(var2, vbas)
+
+
+def test_bas_cplex_roundtrip(tmp_path):
+    fn = str(tmp_path / "c.bas")
+    con_nms = [f"c{i}" for i in range(4)]
+    var_nms = [f"x{j}" for j in range(6)]
+    # valid basis: #basic vars == #nonbasic rows
+    pred_con = np.array([0, 1, 2, 1])  # rows: LL, BS, UL, BS
+    pred_var = np.array([1, 0, 1, 0, 2, 0])  # 2 basic, one UL
+    write_bas_cplex(fn, var_nms, con_nms, pred_var, pred_con)
+    con, var = read_bas(fn, con_nms, var_nms)
+    np.testing.assert_array_equal(con, pred_con)
+    np.testing.assert_array_equal(var, pred_var)
+
+
+def test_bas_cplex_invalid_raises(tmp_path):
+    with pytest.raises(AssertionError):
+        write_bas_cplex(str(tmp_path / "d.bas"), ["x0"], ["c0"],
+                        np.array([1]), np.array([1]))  # basic var, basic row
+
+
+def test_check_lb_ub():
+    lbls = np.array([0, 0, 2, 2])
+    l = np.array([-np.inf, 0.0, -np.inf, 0.0])
+    u = np.array([np.inf, np.inf, 1.0, np.inf])
+    check_lb(lbls, l)
+    assert lbls.tolist() == [2, 0, 2, 2]
+    # index 0 (now UL with u=+inf) and index 3 flip to LL
+    check_ub(lbls, u)
+    assert lbls.tolist() == [0, 0, 2, 0]
