@@ -1,0 +1,91 @@
+"""Sparse bipartite aggregation ops: CSR/COO SpMM and SDDMM.
+
+TPU-native replacement for torch_sparse's ``spmm`` (the fwd/bwd hot kernel
+behind PyG ``GraphConv.propagate``, reference arch.py:65-81 via
+torch_geometric; see SURVEY.md §2.2). Design:
+
+- Edges live in COO sorted by destination, so aggregation is a *sorted*
+  ``jax.ops.segment_sum`` — XLA's fast path, no atomics (TPU has none).
+- The backward of "gather from src, segment-sum into dst" is exactly the
+  transpose SpMM, which we compute with the *other* pre-sorted edge ordering
+  (see data/batching.py) instead of scatter-adds — race-free by construction,
+  mirroring how the reference keeps CSR and its transpose (arch.py:71-74).
+- ``custom_vjp`` wires the pair together so autodiff never emits an
+  unsorted scatter.
+
+A Pallas TPU kernel with the same signature lives in pallas_spmm.py; this
+module is the jnp reference implementation and the parity oracle for it.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(5,))
+def segment_spmm(dst, src, val, x, dst_sorted_of_transpose, num_dst):
+    """out[d] = sum over edges e with dst[e]==d of val[e] * x[src[e]].
+
+    Args:
+      dst: (E,) int32 destination ids, sorted ascending.
+      src: (E,) int32 source ids.
+      val: (E,) float edge weights (A entries).
+      x:   (S, D) source features.
+      dst_sorted_of_transpose: tuple (t_dst, t_src, t_val) — the same edge set
+        sorted by ``src`` (so the VJP is also a sorted segment-sum). ``t_dst``
+        are source ids sorted ascending, ``t_src`` the matching destination
+        ids, ``t_val`` the matching values.
+      num_dst: static int — number of destination nodes (padded).
+    Returns:
+      (num_dst, D) aggregated features.
+    """
+    msg = x[src] * val[:, None].astype(x.dtype)
+    return jax.ops.segment_sum(msg, dst, num_segments=num_dst,
+                               indices_are_sorted=True)
+
+
+def _segment_spmm_fwd(dst, src, val, x, tr, num_dst):
+    out = segment_spmm(dst, src, val, x, tr, num_dst)
+    return out, (tr, x.shape[0])
+
+
+def _segment_spmm_bwd(num_dst, res, g):
+    (t_dst, t_src, t_val), num_src = res
+    # dL/dx[s] = sum over edges with src==s of val * g[dst]  == transpose SpMM
+    dx = jax.ops.segment_sum(g[t_src] * t_val[:, None].astype(g.dtype),
+                             t_dst, num_segments=num_src,
+                             indices_are_sorted=True)
+    return None, None, None, dx, None
+
+
+segment_spmm.defvjp(_segment_spmm_fwd, _segment_spmm_bwd)
+
+
+def spmm_cons_to_vars(pg, x_cons):
+    """out[j] = sum_i A_ij * x_cons[i]  — (N_pad, D). Uses col-sorted edges."""
+    tr = (pg.row_r, pg.col_r, pg.val_r)
+    return segment_spmm(pg.col_c, pg.row_c, pg.val_c, x_cons, tr,
+                        pg.v_feas.shape[0])
+
+
+def spmm_vars_to_cons(pg, x_vars):
+    """out[i] = sum_j A_ij * x_vars[j]  — (M_pad, D). Uses row-sorted edges."""
+    tr = (pg.col_c, pg.row_c, pg.val_c)
+    return segment_spmm(pg.row_r, pg.col_r, pg.val_r, x_vars, tr,
+                        pg.c_feas.shape[0])
+
+
+def bidir_spmm(pg, x_cons, x_vars):
+    """Both directions of the two-tower aggregation in one call."""
+    return spmm_vars_to_cons(pg, x_vars), spmm_cons_to_vars(pg, x_cons)
+
+
+def sddmm(row, col, x_cons, x_vars):
+    """Sampled dense-dense matmul: per-edge <x_cons[row], x_vars[col]>.
+
+    The edge-value gradient primitive (SURVEY.md §2.2): if loss depends on
+    SpMM with learnable edge weights, dval = sddmm(row, col, grad_out, x_src).
+    """
+    return jnp.sum(x_cons[row] * x_vars[col], axis=-1)

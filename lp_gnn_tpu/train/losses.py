@@ -1,0 +1,76 @@
+"""Training losses (reference train.py:18-53, utils.py:286-299), masked for
+static padded shapes.
+
+All loss functions share the signature::
+
+    loss_fn(logit_cons, logit_vars, y_s, y_t, mask_s, mask_t) -> scalar
+
+where masks select the *seed* nodes contributing to the loss (the padded-shape
+equivalent of the reference's ``[:s_bs]/[:t_bs]`` slicing, train.py:122-123;
+for full graphs the masks are just the real-node masks).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def _ce_per_node(logits, labels):
+    """Cross-entropy from raw logits, fp32."""
+    logits = logits.astype(jnp.float32)
+    lse = jax.nn.logsumexp(logits, axis=-1)
+    picked = jnp.take_along_axis(logits, labels[:, None], axis=-1)[:, 0]
+    return lse - picked
+
+
+def labels_to_balanced_weights(labels, mask, merge_lu: bool = True):
+    """Per-class weights = total/count over *masked* labels
+    (reference utils.py:286-299). If only 2 classes are present the weights
+    are used as-is (one-sided LPs); otherwise the LL and UL weights are
+    averaged (two-sided)."""
+    cnt = jnp.stack([jnp.sum((labels == k) & mask) for k in range(3)]).astype(jnp.float32)
+    total = cnt.sum()
+    wei = jnp.where(cnt > 0, total / jnp.maximum(cnt, 1), 0.0)
+    n_present = jnp.sum(cnt > 0)
+    merged = wei.at[0].set((wei[0] + wei[2]) / 2.0).at[2].set((wei[0] + wei[2]) / 2.0)
+    use_merged = merge_lu & (n_present != 2)
+    return jnp.where(use_merged, merged, wei)
+
+
+def _weighted_ce(logits, labels, mask, weights):
+    """torch CrossEntropyLoss(weight=w) semantics: sum(w_y * ce) / sum(w_y)."""
+    ce = _ce_per_node(logits, labels)
+    w = weights[labels] * mask.astype(jnp.float32)
+    return jnp.sum(w * ce) / jnp.maximum(jnp.sum(w), 1e-12)
+
+
+def unbalanced(logit_cons, logit_vars, y_s, y_t, mask_s, mask_t):
+    """Plain mean CE over both sides (reference train.py:32-37)."""
+    ce = jnp.concatenate([_ce_per_node(logit_cons, y_s),
+                          _ce_per_node(logit_vars, y_t)])
+    m = jnp.concatenate([mask_s, mask_t]).astype(jnp.float32)
+    return jnp.sum(ce * m) / jnp.maximum(jnp.sum(m), 1e-12)
+
+
+def balanced(logit_cons, logit_vars, y_s, y_t, mask_s, mask_t):
+    """Per-side class-weighted CE scaled by (m+n)/m and (m+n)/n
+    (reference train.py:39-46)."""
+    m = jnp.sum(mask_s).astype(jnp.float32)
+    n = jnp.sum(mask_t).astype(jnp.float32)
+    w_s = labels_to_balanced_weights(y_s, mask_s)
+    w_t = labels_to_balanced_weights(y_t, mask_t)
+    loss = (m + n) / jnp.maximum(m, 1.0) * _weighted_ce(logit_cons, y_s, mask_s, w_s)
+    loss += (m + n) / jnp.maximum(n, 1.0) * _weighted_ce(logit_vars, y_t, mask_t, w_t)
+    return loss
+
+
+def focal(logit_cons, logit_vars, y_s, y_t, mask_s, mask_t, gamma: float = 2.0):
+    """Focal loss, reproducing the reference's quirk of applying the
+    modulation to the *mean* CE (train.py:18-28: reduction='mean' first,
+    then (1-pt)^gamma)."""
+    ce = unbalanced(logit_cons, logit_vars, y_s, y_t, mask_s, mask_t)
+    pt = jnp.exp(-ce)
+    return (1.0 - pt) ** gamma * ce
+
+
+LOSS_REGISTRY = {"unbalanced": unbalanced, "balanced": balanced, "focal": focal}

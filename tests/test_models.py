@@ -1,0 +1,210 @@
+"""Model zoo, knowledge masking, decode, loss tests."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from lp_gnn_tpu.data.batching import pad_graph
+from lp_gnn_tpu.data.dataset import BipartiteGraph
+from lp_gnn_tpu.models.gcn import build_model
+from lp_gnn_tpu.models.layers import add_knowledge
+from lp_gnn_tpu.infer.decode import (
+    inference_gnn, inference_all_slacks, decode_topm_device,
+    parse_inference_manager,
+)
+from lp_gnn_tpu.train.losses import balanced, unbalanced, focal
+from lp_gnn_tpu.train.metrics import accuracy
+
+
+def make_pg(rng, m=6, n=10, e=18):
+    row = rng.randint(0, m, e).astype(np.int32)
+    col = rng.randint(0, n, e).astype(np.int32)
+    val = (rng.rand(e).astype(np.float32) - 0.5)
+    c_feas = (rng.rand(m, 8).astype(np.float32) - 0.5)
+    v_feas = (rng.rand(n, 8).astype(np.float32) - 0.5)
+    # bound tags in {-1, 0, 1}
+    for fe in (c_feas, v_feas):
+        fe[:, -3] = rng.randint(-1, 2, fe.shape[0])
+        fe[:, -1] = rng.randint(-1, 2, fe.shape[0])
+    g = BipartiteGraph(row=row, col=col, val=val, c_feas=c_feas, v_feas=v_feas,
+                      y_s=rng.randint(0, 3, m).astype(np.int32),
+                      y_t=rng.randint(0, 3, n).astype(np.int32))
+    return pad_graph(g)
+
+
+@pytest.mark.parametrize("arch", [
+    "GCN_FC(8,8,hids=16,depth=3)",
+    "GCN_FC(8,8,hids=16,depth=5)",
+    "GCN(8,8,hids=16)",
+    "GCNRand()",
+    "GCNDeeper(8,8,hids=16,depth=4)",
+    "GENDeeper(8,8,hids=16,depth=3)",
+])
+def test_model_forward(rng, arch):
+    pg = make_pg(rng)
+    model = build_model(arch)
+    params = model.init(jax.random.PRNGKey(0))
+    lc, lv = model.apply(params, pg, train=False)
+    assert lc.shape == (pg.m_pad, 3)
+    assert lv.shape == (pg.n_pad, 3)
+    assert np.isfinite(np.asarray(lc)).all()
+    assert np.isfinite(np.asarray(lv)).all()
+    # jit agrees with eager
+    lc2, lv2 = jax.jit(lambda p, g: model.apply(p, g))(params, pg)
+    np.testing.assert_allclose(np.asarray(lc2), np.asarray(lc), atol=2e-5)
+
+
+def test_train_mode_dropout_differs(rng):
+    pg = make_pg(rng)
+    model = build_model("GCN_FC(8,8,hids=32,depth=4)")
+    params = model.init(jax.random.PRNGKey(0))
+    l1, _ = model.apply(params, pg, train=True, rng=jax.random.PRNGKey(1))
+    l2, _ = model.apply(params, pg, train=True, rng=jax.random.PRNGKey(2))
+    assert not np.allclose(np.asarray(l1), np.asarray(l2))
+
+
+def test_add_knowledge(rng):
+    left = jnp.asarray(rng.randn(5, 3).astype(np.float32))
+    right = jnp.asarray(rng.randn(7, 3).astype(np.float32))
+    lf = np.zeros((5, 8), np.float32)
+    rf = np.zeros((7, 8), np.float32)
+    lf[0, -3] = -1.0   # lower bound -inf -> class LL infeasible
+    lf[1, -1] = 1.0    # upper bound +inf -> class UL infeasible
+    lo, ro = add_knowledge(left, right, jnp.asarray(lf), jnp.asarray(rf))
+    lo, ro = np.asarray(lo), np.asarray(ro)
+    # rows are L2-normalized * 10 before masking (arch.py:133-135)
+    np.testing.assert_allclose(np.linalg.norm(ro, axis=1), 10.0, rtol=1e-5)
+    base = np.asarray(left[0] / np.linalg.norm(left[0]) * 10)
+    assert np.isclose(lo[0, 0], base[0] - 10, atol=1e-5)
+    assert np.isclose(lo[0, 2], base[2], atol=1e-5)
+    base1 = np.asarray(left[1] / np.linalg.norm(left[1]) * 10)
+    assert np.isclose(lo[1, 2], base1[2] - 10, atol=1e-5)
+
+
+def test_decode_validity(rng):
+    m, n = 9, 21
+    logits = rng.randn(m + n, 3)
+    pred = inference_gnn(logits, m)
+    assert (pred == 1).sum() == m
+    assert (pred[m:] == 1).sum() == ((pred[:m] == 0) | (pred[:m] == 2)).sum()
+
+
+def test_decode_device_matches_numpy(rng):
+    m, n = 9, 21
+    m_pad, n_pad = 16, 32
+    logits = rng.randn(m + n, 3).astype(np.float32)
+    lc = np.zeros((m_pad, 3), np.float32)
+    lv = np.zeros((n_pad, 3), np.float32)
+    lc[:m] = logits[:m]
+    lv[:n] = logits[m:]
+    cm = np.arange(m_pad) < m
+    vm = np.arange(n_pad) < n
+    pc, pv = decode_topm_device(jnp.asarray(lc), jnp.asarray(lv),
+                                jnp.asarray(cm), jnp.asarray(vm), m)
+    got = np.concatenate([np.asarray(pc)[:m], np.asarray(pv)[:n]])
+    want = inference_gnn(logits, m)
+    np.testing.assert_array_equal(got, want)
+    # pads marked -1
+    assert (np.asarray(pc)[m:] == -1).all()
+
+
+def test_decode_all_slacks(rng):
+    m, n = 5, 8
+    logits = rng.randn(m + n, 3)
+    pred = inference_all_slacks(logits, m)
+    assert (pred[:m] == 1).all()
+    assert (pred[m:] != 1).all()
+
+
+def test_inference_manager_parse():
+    im = parse_inference_manager("InferenceManager(0, run=0)")
+    assert im.get_basis_folder() == "pred-basis"
+    assert im.get_log_folder() == "gnn-bas-0"
+    im2 = parse_inference_manager("InferenceManager(2,1)")
+    assert im2.mode == "mult"
+    assert "gnn-sparsity-mult" in im2.get_basis_folder()
+
+
+def test_losses_against_torch_semantics(rng):
+    """Oracle: replicate torch CrossEntropyLoss(weight=w) by hand."""
+    m, n = 6, 9
+    lc = rng.randn(m, 3).astype(np.float32)
+    lv = rng.randn(n, 3).astype(np.float32)
+    ys = rng.randint(0, 3, m)
+    yt = rng.randint(0, 3, n)
+    ms = np.ones(m, bool)
+    mt = np.ones(n, bool)
+
+    def ce(logits, y):
+        ex = np.exp(logits - logits.max(-1, keepdims=True))
+        logp = np.log(ex / ex.sum(-1, keepdims=True))
+        return -logp[np.arange(len(y)), y]
+
+    # unbalanced == plain mean
+    got = float(unbalanced(jnp.asarray(lc), jnp.asarray(lv),
+                           jnp.asarray(ys), jnp.asarray(yt),
+                           jnp.asarray(ms), jnp.asarray(mt)))
+    want = np.concatenate([ce(lc, ys), ce(lv, yt)]).mean()
+    assert np.isclose(got, want, rtol=1e-5)
+
+    # balanced: per-side weighted CE with class weights total/cnt (merged 0,2)
+    def wts(y):
+        cnt = np.bincount(y, minlength=3).astype(float)
+        w = np.where(cnt > 0, len(y) / np.maximum(cnt, 1), 0.0)
+        if (cnt > 0).sum() != 2:
+            w[0] = w[2] = (w[0] + w[2]) / 2
+        return w
+
+    def wce(logits, y):
+        w = wts(y)[y]
+        return (w * ce(logits, y)).sum() / w.sum()
+
+    want_b = (m + n) / m * wce(lc, ys) + (m + n) / n * wce(lv, yt)
+    got_b = float(balanced(jnp.asarray(lc), jnp.asarray(lv),
+                           jnp.asarray(ys), jnp.asarray(yt),
+                           jnp.asarray(ms), jnp.asarray(mt)))
+    assert np.isclose(got_b, want_b, rtol=1e-5)
+
+    # focal applies (1-exp(-mean_ce))^2 to the mean ce (reference quirk)
+    got_f = float(focal(jnp.asarray(lc), jnp.asarray(lv),
+                        jnp.asarray(ys), jnp.asarray(yt),
+                        jnp.asarray(ms), jnp.asarray(mt)))
+    want_f = (1 - np.exp(-want)) ** 2 * want
+    assert np.isclose(got_f, want_f, rtol=1e-5)
+
+
+def test_loss_padding_invariance(rng):
+    """Padding must not change the loss value."""
+    m, n = 6, 9
+    lc = rng.randn(m, 3).astype(np.float32)
+    lv = rng.randn(n, 3).astype(np.float32)
+    ys = rng.randint(0, 3, m)
+    yt = rng.randint(0, 3, n)
+    base = float(balanced(jnp.asarray(lc), jnp.asarray(lv), jnp.asarray(ys),
+                          jnp.asarray(yt), jnp.ones(m, bool), jnp.ones(n, bool)))
+    lc_p = np.concatenate([lc, rng.randn(4, 3).astype(np.float32)])
+    lv_p = np.concatenate([lv, rng.randn(2, 3).astype(np.float32)])
+    ys_p = np.concatenate([ys, np.zeros(4, np.int64)])
+    yt_p = np.concatenate([yt, np.zeros(2, np.int64)])
+    ms = np.concatenate([np.ones(m, bool), np.zeros(4, bool)])
+    mt = np.concatenate([np.ones(n, bool), np.zeros(2, bool)])
+    padded = float(balanced(jnp.asarray(lc_p), jnp.asarray(lv_p),
+                            jnp.asarray(ys_p), jnp.asarray(yt_p),
+                            jnp.asarray(ms), jnp.asarray(mt)))
+    assert np.isclose(base, padded, rtol=1e-5)
+
+
+def test_accuracy_metric(rng):
+    m, n = 8, 12
+    gt = np.concatenate([rng.randint(0, 3, m), rng.randint(0, 3, n)])
+    logits = np.zeros((m + n, 3), np.float32)
+    logits[np.arange(m + n), gt] = 5.0  # strongly peaked at gt
+    acc, prec, recl = accuracy(logits, gt, m, return_pr=True)
+    # decode forces exactly m basic so acc may be < 1, but must be within [0,1]
+    assert 0 <= acc <= 1 and 0 <= prec <= 1 and 0 <= recl <= 1
+    # if gt itself is a valid basis, peaked logits decode perfectly
+    gt2 = np.concatenate([np.ones(m, np.int64), np.zeros(n, np.int64)])
+    logits2 = np.zeros((m + n, 3), np.float32)
+    logits2[np.arange(m + n), gt2] = 5.0
+    acc2 = accuracy(logits2, gt2, m)
+    assert acc2 == 1.0
