@@ -1,0 +1,238 @@
+"""Synthetic LP-family generators.
+
+The reference trains on *families of similar LP instances* (mirp = maritime
+inventory routing, readme.md:137; also small/medium, libsvm, miplib subsets —
+utils.py:862-865). None of those datasets ship with this environment, so the
+framework provides generators producing families with the same key property:
+fixed structure per family, randomized data per instance, so the optimal
+basis is learnable across instances.
+
+Each generator takes two RNGs: ``rs`` draws *structure* (sparsity patterns,
+networks, capacities — identical for every instance of a family) and ``rd``
+draws *instance data* (costs, demands, rates — varying per instance).
+
+Families
+--------
+- ``mirp_like``  multi-period, multi-port inventory+shipping LP: inventory
+  balance equalities, arc capacities, port storage bounds. Equality-heavy,
+  network-structured — the closest analog of the reference's mirp dataset.
+- ``transport``  capacitated transportation problems (supply <=, demand >=).
+- ``netflow``    min-cost flow on a random sparse digraph (balance equalities
+  + arc capacities).
+- ``packing``    random fractional packing LPs (one-sided <= rows).
+
+``generate_dataset`` writes a family to ``{prefix}/{name}/mps/*.mps``
+matching the pipeline layout (SURVEY.md §1).
+"""
+from __future__ import annotations
+
+import os
+import os.path as osp
+
+import numpy as np
+from scipy.sparse import coo_matrix
+
+from ..io.mps import LPData, write_mps
+
+
+def _names(prefix, k):
+    return np.array([f"{prefix}{i}" for i in range(k)], dtype=object)
+
+
+def gen_transport(rs, rd, m_src: int = 12, n_dst: int = 18) -> LPData:
+    """Capacitated transportation LP: min sum c_ij x_ij,
+    supply rows sum_j x_ij <= s_i, demand rows sum_i x_ij >= d_j,
+    0 <= x_ij <= cap_ij (structure: which arcs are boxed)."""
+    n = m_src * n_dst
+    m = m_src + n_dst
+    c = (rd.rand(n) * 10 + 1).round(3)
+    demand = rd.rand(n_dst) * 10 + 5
+    total_d = demand.sum()
+    supply = rd.rand(m_src) + 1
+    supply = supply / supply.sum() * total_d * (1.2 + 0.3 * rd.rand())
+    rows, cols, vals = [], [], []
+    for i in range(m_src):
+        for j in range(n_dst):
+            v = i * n_dst + j
+            rows += [i, m_src + j]
+            cols += [v, v]
+            vals += [1.0, 1.0]
+    A = coo_matrix((vals, (rows, cols)), shape=(m, n)).tocsr()
+    b_l = np.concatenate([np.full(m_src, -np.inf), demand])
+    b_u = np.concatenate([supply, np.full(n_dst, np.inf)])
+    lb = np.zeros(n)
+    ub = np.full(n, np.inf)
+    boxed = rs.rand(n) < 0.3
+    ub[boxed] = (rs.rand(int(boxed.sum())) * 5 + 2) * total_d / n_dst / m_src
+    return LPData(c=c, b_l=b_l, A=A, b_u=b_u, lb=lb, ub=ub,
+                  con_nms=_names("R", m), var_nms=_names("X", n),
+                  name="transport")
+
+
+def gen_mirp_like(rs, rd, n_ports: int = 6, n_periods: int = 10,
+                  arc_density: float = 0.5) -> LPData:
+    """Multi-period inventory + shipping LP (mirp-style structure).
+
+    Variables: inventory I_{p,t} (bounded storage), shipments x_{a,t}
+    (capacitated arcs with travel time), spot purchases z_{p,t} (penalized).
+    Rows: inventory balance equalities per (port, period), plus per-period
+    fleet capacity rows (<=).
+    """
+    P, T = n_ports, n_periods
+    arcs = [(p, q) for p in range(P) for q in range(P)
+            if p != q and rs.rand() < arc_density]
+    if not arcs:
+        arcs = [(0, 1 % P)]
+    A_ = len(arcs)
+    travel = 1 + rs.randint(0, 2, A_)          # 1-2 period travel (structure)
+    prod_ports = rs.rand(P) < 0.5
+    if not prod_ports.any():
+        prod_ports[0] = True
+    if prod_ports.all():
+        prod_ports[-1] = False
+    cap_store = rs.rand(P) * 30 + 20           # structure
+    cap_arc = rs.rand(A_) * 6 + 2              # structure
+    fleet_cap = A_ * (rs.rand() * 3 + 2)       # structure
+
+    nI, nX, nZ = P * T, A_ * T, P * T
+    n = nI + nX + nZ
+
+    def vI(p, t):
+        return p * T + t
+
+    def vX(a, t):
+        return nI + a * T + t
+
+    def vZ(p, t):
+        return nI + nX + p * T + t
+
+    m = P * T + T
+
+    def rB(p, t):
+        return p * T + t
+
+    def rC(t):
+        return P * T + t
+
+    rate = np.where(prod_ports, rd.rand(P) * 4 + 2, -(rd.rand(P) * 4 + 2))
+    r = rate[:, None] * (0.8 + 0.4 * rd.rand(P, T))
+
+    rows, cols, vals = [], [], []
+    for p in range(P):
+        for t in range(T):
+            i = rB(p, t)
+            rows += [i, i]
+            cols += [vI(p, t), vZ(p, t)]
+            vals += [1.0, -1.0]
+            if t > 0:
+                rows.append(i)
+                cols.append(vI(p, t - 1))
+                vals.append(-1.0)
+    for a, (p, q) in enumerate(arcs):
+        for t in range(T):
+            rows.append(rB(p, t))
+            cols.append(vX(a, t))
+            vals.append(1.0)
+            if t + travel[a] < T:
+                rows.append(rB(q, t + int(travel[a])))
+                cols.append(vX(a, t))
+                vals.append(-1.0)
+            rows.append(rC(t))
+            cols.append(vX(a, t))
+            vals.append(1.0)
+
+    A = coo_matrix((vals, (rows, cols)), shape=(m, n)).tocsr()
+    rhs = np.concatenate([r.reshape(-1), np.zeros(T)])
+    b_l = rhs.copy()
+    b_u = rhs.copy()
+    b_l[P * T:] = -np.inf
+    b_u[P * T:] = fleet_cap
+
+    lb = np.zeros(n)
+    ub = np.full(n, np.inf)
+    for p in range(P):
+        ub[vI(p, 0): vI(p, 0) + T] = cap_store[p]
+    for a in range(A_):
+        ub[vX(a, 0): vX(a, 0) + T] = cap_arc[a]
+
+    c = np.zeros(n)
+    c[:nI] = 0.1 + 0.2 * rd.rand(nI)                       # holding cost
+    c[nI:nI + nX] = np.repeat(rd.rand(A_) * 3 + 1, T)      # shipping cost
+    c[nI + nX:] = 50.0 + 10 * rd.rand(nZ)                  # spot penalty
+    return LPData(c=c, b_l=b_l, A=A, b_u=b_u, lb=lb, ub=ub,
+                  con_nms=_names("R", m), var_nms=_names("X", n),
+                  name="mirp_like")
+
+
+def gen_netflow(rs, rd, n_nodes: int = 40, density: float = 0.15) -> LPData:
+    """Min-cost flow with supplies/demands and arc capacities."""
+    N = n_nodes
+    arcs = [(i, j) for i in range(N) for j in range(N)
+            if i != j and rs.rand() < density]
+    n = len(arcs)
+    supply = rd.randn(N) * 5
+    supply -= supply.mean()
+    rows, cols, vals = [], [], []
+    for a, (i, j) in enumerate(arcs):
+        rows += [i, j]
+        cols += [a, a]
+        vals += [1.0, -1.0]
+    A = coo_matrix((vals, (rows, cols)), shape=(N, n)).tocsr()
+    c = rd.rand(n) * 10 + 0.5
+    ub = rs.rand(n) * 20 + 5
+    return LPData(c=c, b_l=supply.copy(), A=A, b_u=supply.copy(),
+                  lb=np.zeros(n), ub=ub,
+                  con_nms=_names("R", N), var_nms=_names("X", n),
+                  name="netflow")
+
+
+def gen_packing(rs, rd, m: int = 40, n: int = 80, density: float = 0.2) -> LPData:
+    """Random fractional packing LP: min -p.x s.t. Ax <= b, 0<=x<=1."""
+    mask = rs.rand(m, n) < density
+    for i in range(m):
+        if not mask[i].any():
+            mask[i, rs.randint(n)] = True
+    for j in range(n):
+        if not mask[:, j].any():
+            mask[rs.randint(m), j] = True
+    r, cc = np.nonzero(mask)
+    vals = rd.rand(mask.sum()) * 4 + 1
+    A = coo_matrix((vals, (r, cc)), shape=(m, n)).tocsr()
+    b = np.asarray(A.sum(axis=1)).flatten() * (0.3 + 0.2 * rd.rand(m))
+    c = -(rd.rand(n) * 9 + 1)
+    return LPData(c=c, b_l=np.full(m, -np.inf), A=A, b_u=b,
+                  lb=np.zeros(n), ub=np.ones(n),
+                  con_nms=_names("R", m), var_nms=_names("X", n),
+                  name="packing")
+
+
+GENERATORS = {
+    "mirp_like": gen_mirp_like,
+    "transport": gen_transport,
+    "netflow": gen_netflow,
+    "packing": gen_packing,
+}
+
+
+def generate_instance(family: str, seed: int, instance: int, **kwargs) -> LPData:
+    """One instance: structure fixed by ``seed``, data varies by ``instance``."""
+    rs = np.random.RandomState(seed)
+    rd = np.random.RandomState(seed * 100003 + instance + 1)
+    return GENERATORS[family](rs, rd, **kwargs)
+
+
+def generate_dataset(name: str, out_prefix: str, n_instances: int = 40,
+                     seed: int = 0, family: str | None = None,
+                     **kwargs) -> list[str]:
+    """Write a family to ``{out_prefix}/{name}/mps/*.mps``
+    (pipeline layout, SURVEY.md §1)."""
+    family = family or name.split("-")[0]
+    mps_dir = osp.join(out_prefix, name, "mps")
+    os.makedirs(mps_dir, exist_ok=True)
+    out = []
+    for k in range(n_instances):
+        lp = generate_instance(family, seed, k, **kwargs)
+        fn = osp.join(mps_dir, f"{family}_{k}.mps")
+        write_mps(lp, fn)
+        out.append(fn)
+    return out

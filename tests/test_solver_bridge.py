@@ -1,0 +1,111 @@
+"""HiGHS bridge + generator + crash tests: solve, warm-start, baselines."""
+import numpy as np
+import pytest
+
+from lp_gnn_tpu.data.generator import generate_instance, GENERATORS
+from lp_gnn_tpu.solver.highs_bridge import solve_lp, solve_mps, HAVE_HIGHS
+from lp_gnn_tpu.solver.crash import bixby_crash_basis
+from lp_gnn_tpu.io.mps import write_mps
+from lp_gnn_tpu.io.bas import write_bas_highs
+
+pytestmark = pytest.mark.skipif(not HAVE_HIGHS, reason="no vendored highspy")
+
+
+@pytest.mark.parametrize("family", sorted(GENERATORS))
+def test_generated_lps_solve(family):
+    lp = generate_instance(family, seed=0, instance=0)
+    res = solve_lp(lp, method=1)
+    assert res.status == "Optimal", (family, res.status)
+    assert res.niter > 0
+    assert len(res.col_status) == lp.shape[1]
+    assert len(res.row_status) == lp.shape[0]
+    # basis validity: #basic == m
+    nb = (res.col_status == 1).sum() + (res.row_status == 1).sum()
+    assert nb == lp.shape[0]
+
+
+def test_family_structure_fixed():
+    a = generate_instance("mirp_like", seed=0, instance=0)
+    b = generate_instance("mirp_like", seed=0, instance=1)
+    assert a.shape == b.shape
+    np.testing.assert_array_equal(a.A.indices, b.A.indices)  # same pattern
+    assert not np.allclose(a.b_l, b.b_l)                     # different data
+
+
+def test_warm_start_from_optimal_is_free():
+    lp = generate_instance("transport", seed=0, instance=0)
+    cold = solve_lp(lp, method=1)
+    warm = solve_lp(lp, method=1, basis_in=(cold.col_status, cold.row_status))
+    assert warm.status == "Optimal"
+    assert warm.niter <= max(2, cold.niter // 10)
+
+
+def test_crash_basis_valid_and_helps():
+    lp = generate_instance("mirp_like", seed=0, instance=0)
+    colb, rowb = bixby_crash_basis(lp)
+    assert ((colb == 1).sum() + (rowb == 1).sum()) == lp.shape[0]
+    cold = solve_lp(lp, method=1)
+    warm = solve_lp(lp, method=1, basis_in=(colb, rowb))
+    assert warm.status == "Optimal"
+    assert np.isclose(warm.objective, cold.objective, rtol=1e-6)
+
+
+def test_solve_mps_files(tmp_path):
+    lp = generate_instance("netflow", seed=0, instance=0)
+    mps = str(tmp_path / "a.mps")
+    write_mps(lp, mps)
+    bas = str(tmp_path / "a.bas")
+    log = str(tmp_path / "a.log")
+    res = solve_mps(mps, method=1, basis_out_path=bas, log_path=log)
+    assert res.status == "Optimal"
+    # log must satisfy the reference parser contract (utils.py:621-660)
+    text = open(log).read()
+    assert "HiGHS" in text
+    import re
+    it_line = [l for l in text.splitlines() if "iterations" in l][0]
+    assert int(re.findall(r"\d+", it_line)[0]) == res.niter
+    stat_line = [l for l in text.splitlines() if "status" in l and "Model" in l][0]
+    assert "Optimal" in stat_line
+    tm_line = [l for l in text.splitlines() if "run time" in l][0]
+    assert re.findall(r"\d*\.\d*", tm_line)
+    # warm start from file
+    res2 = solve_mps(mps, method=1, basis_in_path=bas)
+    assert res2.niter <= 2
+
+
+def test_primal_vs_dual_same_objective():
+    lp = generate_instance("packing", seed=0, instance=0)
+    d = solve_lp(lp, method=1)
+    p = solve_lp(lp, method=4)
+    assert np.isclose(d.objective, p.objective, rtol=1e-8)
+
+
+def test_scipy_linprog_oracle():
+    """Cross-check objective vs scipy.linprog on a generated instance."""
+    from scipy.optimize import linprog
+    lp = generate_instance("transport", seed=1, instance=0)
+    res = solve_lp(lp, method=1)
+    m = lp.shape[0]
+    A = lp.A
+    # convert two-sided rows to ub/eq form
+    import scipy.sparse as sp
+    rows_ub, rhs_ub = [], []
+    rows_eq, rhs_eq = [], []
+    for i in range(m):
+        lo, hi = lp.b_l[i], lp.b_u[i]
+        if lo == hi:
+            rows_eq.append(i)
+            rhs_eq.append(lo)
+        else:
+            if np.isfinite(hi):
+                rows_ub.append((1.0, i, hi))
+            if np.isfinite(lo):
+                rows_ub.append((-1.0, i, -lo))
+    A_ub = sp.vstack([s * A[i] for s, i, _ in rows_ub]) if rows_ub else None
+    b_ub = np.array([r for _, _, r in rows_ub]) if rows_ub else None
+    A_eq = A[rows_eq] if rows_eq else None
+    b_eq = np.array(rhs_eq) if rows_eq else None
+    out = linprog(lp.c, A_ub=A_ub, b_ub=b_ub, A_eq=A_eq, b_eq=b_eq,
+                  bounds=np.stack([lp.lb, lp.ub], axis=1), method="highs")
+    assert out.status == 0
+    assert np.isclose(out.fun, res.objective, rtol=1e-7)
