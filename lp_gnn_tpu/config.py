@@ -27,6 +27,17 @@ from .utils.misc import increment_path, init_seeds, mkdir_p
 LP_METHOD_MAP = {"dual": 1, "primal": 4}
 
 
+def apply_platform_env() -> None:
+    """Honor LP_GNN_PLATFORM={cpu,tpu,...}: the axon TPU plugin ignores the
+    JAX_PLATFORMS env var, so CPU-only runs (CI, multi-chip simulation with
+    xla_force_host_platform_device_count) need an in-process config update
+    before first backend use."""
+    plat = os.environ.get("LP_GNN_PLATFORM", "")
+    if plat and plat != "tpu":
+        import jax
+        jax.config.update("jax_platforms", plat)
+
+
 @dataclasses.dataclass
 class Config:
     # experiment
@@ -54,6 +65,7 @@ class Config:
     fp16: int = 0                          # reference --fp16; here: bf16 compute
     # solver
     lp_method: int | str = 1               # 1=dual, 4=primal (run_solver.py:12)
+    engine: str = "highs"                  # highs (bridge) | native (C++ runtime)
     inference_manager: str = "InferenceManager(0,)"
     gW: float | None = None
     # parallelism (new, TPU build)
@@ -114,6 +126,7 @@ class Config:
 
 def parse_args(argv=None, make_log_dir: bool = True, **defaults) -> Config:
     """CLI entry mirroring reference ``Environment()`` (utils.py:684-854)."""
+    apply_platform_env()
     cfg = Config(**defaults)
     parser = argparse.ArgumentParser(conflict_handler="resolve")
     for f in dataclasses.fields(cfg):

@@ -5,3 +5,5 @@ from .features import (
 )
 from .dataset import LPDataset, BipartiteGraph, process_raw_dir
 from .batching import pad_graph, PaddedGraph, make_buckets, bucket_for
+from .sampling import sample_subgraphs
+from .generator import generate_dataset, generate_instance, GENERATORS

@@ -1,0 +1,171 @@
+"""Inference engine + validation drivers.
+
+Roles of reference ``model_inference_with_batch`` (val.py:12-41),
+``validation`` / ``validation_wrt_converged`` (val.py:43-104) and the
+prediction driver (scripts/pred_basis.py:70-178).
+"""
+from __future__ import annotations
+
+import logging
+import os
+import os.path as osp
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..config import Config
+from ..data.batching import pad_graph
+from ..data.dataset import BipartiteGraph, LPDataset
+from ..data.sampling import sample_subgraphs
+from ..io.bas import read_bas, write_bas_highs
+from ..models.gcn import Model
+from ..train.metrics import accuracy
+from ..utils.misc import extract_fn
+from ..utils.serialize import df_dump, df_load
+from .decode import inference_gnn
+
+
+def model_inference(model: Model, params, g: BipartiteGraph,
+                    edge_num_thresh: float = np.inf,
+                    batch_size: int = 10240 * 32, depth: int | None = None,
+                    rng=None):
+    """Exact logits for every node of one graph (reference val.py:12-41).
+
+    Small graphs: one padded full-graph forward. Oversize graphs: exact
+    (fanout -1) sampled shards over seed batches, concatenating seed logits.
+    Returns (logit_cons (m,3), logit_vars (n,3)) numpy, unpadded.
+    """
+    if g.nnz <= edge_num_thresh:
+        pg = pad_graph(g)
+        lc, lv = jax.jit(partial(model.apply, train=False))(params, pg)
+        return (np.asarray(lc)[: g.ncons], np.asarray(lv)[: g.nvars])
+    rng = rng or np.random.RandomState(0)
+    hops = max((depth or 3) - 1, 1)
+    shards = sample_subgraphs(g, rng, fanout=[-1] * hops,
+                              batch_size=batch_size, shuffle=False,
+                              drop_last=False, exact=True)
+    lc_out = np.zeros((g.ncons, 3), np.float32)
+    lv_out = np.zeros((g.nvars, 3), np.float32)
+    # seed order: shards partition nodes in index order (shuffle=False)
+    ptr = 0
+    nodes = np.arange(g.ncons + g.nvars)
+    fwd = jax.jit(partial(model.apply, train=False))
+    for pg in shards:
+        lc, lv = fwd(params, pg)
+        s_bs, t_bs = int(pg.s_bs), int(pg.t_bs)
+        chunk = nodes[ptr: ptr + s_bs + t_bs]
+        seed_cons = chunk[chunk < g.ncons]
+        seed_vars = chunk[chunk >= g.ncons] - g.ncons
+        lc_out[seed_cons] = np.asarray(lc)[:s_bs]
+        lv_out[seed_vars] = np.asarray(lv)[:t_bs]
+        ptr += s_bs + t_bs
+    return lc_out, lv_out
+
+
+def validation(model: Model, params, ds: LPDataset, cfg: Config,
+               dump_info: str | None = None, wrt_converged: bool = False):
+    """Per-LP accuracy/precision/recall vs optimal-basis labels
+    (reference val.py:43-68) or vs the converged warm-start basis
+    (val.py:70-104 when ``wrt_converged``)."""
+    df = df_load(dump_info) if dump_info and osp.exists(dump_info) else None
+    avg_acc = 0.0
+    prefix = "cvg/" if wrt_converged else ""
+    for i in range(len(ds)):
+        g = ds[i]
+        fn = g.fn
+        lc, lv = model_inference(model, params, g, cfg.edge_num_thresh,
+                                 cfg.batch_size, cfg.arch_depth())
+        if wrt_converged:
+            tgt = f"{cfg.log_dir}/opt-from-pred-basis/{fn}.bas"
+            if not osp.exists(tgt):
+                continue
+            con_lbls, var_lbls = read_bas(tgt)
+            gt = np.concatenate([con_lbls, var_lbls])
+        else:
+            gt = np.concatenate([g.y_s, g.y_t])
+        logits = np.concatenate([lc, lv])
+        acc, prec, recl = accuracy(logits, gt, g.ncons, return_pr=True,
+                                   dataset_name=cfg.dataset)
+        avg_acc += acc / len(ds)
+        if df is not None:
+            df.loc[df.fn == fn, prefix + "acc"] = acc
+            df.loc[df.fn == fn, prefix + "prec"] = prec
+            df.loc[df.fn == fn, prefix + "recl"] = recl
+        if i % 9 == 1:
+            logging.info("val %d/%d %s acc %.4f prec %.4f recl %.4f",
+                         i, len(ds), fn, acc, prec, recl)
+    if df is not None and dump_info:
+        df_dump(df, dump_info)
+    return 0.0, avg_acc
+
+
+def predict_and_write_bases(model: Model, params, ds: LPDataset, cfg: Config,
+                            out_dir: str, decode_fn=inference_gnn):
+    """Decode every graph and write HiGHS .bas + .sort files
+    (reference scripts/pred_basis.py:70-111). ``ds`` must have load_meta."""
+    os.makedirs(out_dir, exist_ok=True)
+    inf_times = {}
+    for i in range(len(ds)):
+        g = ds[i]
+        lc, lv = model_inference(model, params, g, cfg.edge_num_thresh,
+                                 cfg.batch_size, cfg.arch_depth())
+        logits = np.concatenate([lc, lv]).astype(np.float32)
+        m = g.ncons
+        pred = decode_fn(logits, m, nnzs=_nnzs_for_decode(g, decode_fn))
+        pred_con, pred_var = pred[:m], pred[m:]
+        fn = osp.join(out_dir, f"{g.fn}.bas")
+        write_bas_highs(fn, vbas=pred_var, cbas=pred_con)
+        _write_sort_vars(fn + ".sort", logits, m)
+    return inf_times
+
+
+def _nnzs_for_decode(g: BipartiteGraph, decode_fn):
+    if decode_fn is inference_gnn:
+        return None
+    # sparsity decode: slacks count 1, structural vars their column nnz
+    # (reference pred_basis.py:71-77)
+    deg = np.zeros(g.nvars)
+    np.add.at(deg, g.col, 1)
+    return np.concatenate([np.ones(g.ncons), deg])
+
+
+def _write_sort_vars(fn: str, logits: np.ndarray, m: int):
+    """P(basic) sidecar for Bixby-crash experiments
+    (reference pred_basis.py:57-67): vars first, then cons."""
+    x = logits - logits.max(-1, keepdims=True)
+    e = np.exp(x)
+    pr = e / e.sum(-1, keepdims=True)
+    pv, pc = pr[m:, 1], pr[:m, 1]
+    with open(fn, "w") as f:
+        f.write(f"{len(pv)} \n")
+        f.write(" ".join(str(float(v)) for v in pv) + "\n")
+        f.write(f"{len(pc)} \n")
+        f.write(" ".join(str(float(v)) for v in pc) + "\n")
+
+
+def timed_inference(model: Model, params, ds: LPDataset, cfg: Config,
+                    dump_info: str | None = None):
+    """Pure-inference timing pass -> per-LP ``inf_time``
+    (reference pred_basis.py:158-176)."""
+    import time
+    df = df_load(dump_info) if dump_info and osp.exists(dump_info) else None
+    fwd = jax.jit(partial(model.apply, train=False))
+    times = {}
+    for i in range(len(ds)):
+        g = ds[i]
+        pg = pad_graph(g)
+        fwd(params, pg)   # warm compile for this bucket
+        t0 = time.time()
+        lc, lv = fwd(params, pg)
+        jax.block_until_ready(lc)
+        logits = np.concatenate([np.asarray(lc)[: g.ncons],
+                                 np.asarray(lv)[: g.nvars]])
+        inference_gnn(logits, g.ncons)
+        times[g.fn] = time.time() - t0
+        if df is not None:
+            df.loc[df.fn == g.fn, "inf_time"] = times[g.fn]
+    if df is not None and dump_info:
+        df_dump(df, dump_info)
+    return times

@@ -1,0 +1,266 @@
+"""End-to-end pipeline stages (roles of the reference's scripts/ drivers and
+run_prep_data.py / run_train_test.py orchestrators).
+
+Each stage is an importable function over a :class:`Config`; the thin CLIs in
+``scripts/`` call these. Stages communicate through the on-disk layout of
+SURVEY.md §1 (identical to the reference):
+
+    {data_prefix}/{dataset}/mps/*.mps
+    {data_prefix}/{dataset}/{sv}basis[-mM]/*.bas         cold optimal bases
+    {data_prefix}/{dataset}/log/{sv}no-bas[-mM]/*.log    cold logs
+    {data_prefix}/{dataset}/log/{sv}ca-bas-m1/*.log      crash warm-start logs
+    {data_prefix}/{dataset}/{sv}inp_tgt[-mM]/{raw,processed}/*.pk
+    {log_prefix}/{exp_nm}/{pred-basis,opt-from-pred-basis,log/gnn-bas-0}/
+    {log_prefix}/{exp_nm}/time.h5
+"""
+from __future__ import annotations
+
+import glob
+import logging
+import os
+import os.path as osp
+import shutil
+
+import numpy as np
+
+from .config import Config
+from .data.dataset import LPDataset, process_raw_dir, split_train_val
+from .data.generator import generate_dataset
+from .io.bas import check_lb, check_ub, read_bas, write_bas_highs
+from .io.mps import read_mps
+from .infer.decode import parse_inference_manager
+from .infer.predict import (model_inference, predict_and_write_bases,
+                            timed_inference, validation)
+from .models.gcn import build_model
+from .reporting.extract import collect_results, extract_time, summarize
+from .solver.crash import bixby_crash_basis
+from .solver import native as native_solver
+from .train.trainer import load_ckpt, run_exp
+from .utils.misc import extract_fn, mkdir_p
+from .utils.serialize import df_dump, df_load, msgpack_dump
+
+
+def _mps_files(cfg: Config) -> list[str]:
+    fns = sorted(glob.glob(f"{cfg.dataset_prefix}/mps/*.mps"),
+                 key=lambda nm: (len(nm), nm))
+    if not fns:
+        fns = sorted(glob.glob(f"{cfg.dataset_prefix}/mps/*.mps.gz"),
+                     key=lambda nm: (len(nm), nm))
+    if not fns:
+        raise ValueError(f"no mps under {cfg.dataset_prefix}/mps")
+    return fns
+
+
+def _solve_backend(cfg: Config):
+    """Select the solver engine: the native C++ runtime when built, else the
+    highspy bridge (both share the log contract)."""
+    engine = getattr(cfg, "engine", "highs")
+    if engine == "native" or (engine == "auto" and native_solver.available()):
+        return native_solver.solve_mps
+    from .solver.highs_bridge import solve_mps
+    return solve_mps
+
+
+# ------------------------------------------------------------------ L1 stages
+def stage_generate(cfg: Config, family: str | None = None,
+                   n_instances: int = 40, **kwargs) -> list[str]:
+    """Generate a synthetic LP family into the dataset layout."""
+    return generate_dataset(cfg.dataset, cfg.data_prefix,
+                            n_instances=n_instances, seed=cfg.seed,
+                            family=family, **kwargs)
+
+
+def stage_run_solver(cfg: Config) -> None:
+    """Cold-solve every instance, save optimal basis + log; also run the
+    crash-basis warm-start baseline (reference scripts/run_solver.py)."""
+    solve_mps = _solve_backend(cfg)
+    method = cfg.normalized_lp_method()
+    sfx = cfg.get_method_sfx()
+    path = cfg.dataset_prefix
+    for mps in _mps_files(cfg):
+        nm = extract_fn(mps)
+        bas = f"{path}/{cfg.solver_prefix}basis{sfx}/{nm}.bas"
+        log = f"{path}/log/{cfg.solver_prefix}no-bas{sfx}/{nm}.log"
+        if cfg.skip_exist and osp.exists(log) and osp.exists(bas):
+            continue
+        res = solve_mps(mps, method=method, basis_out_path=bas, log_path=log)
+        logging.info("cold %s: %s %d iters", nm, res.status, res.niter)
+        # crash-basis baseline (run_solver.py:56)
+        lp = read_mps(mps)
+        colb, rowb = bixby_crash_basis(lp)
+        ca_bas = f"{path}/{cfg.solver_prefix}ca-init-bas-m1/{nm}.bas"
+        write_bas_highs(ca_bas, vbas=colb, cbas=rowb)
+        ca_log = f"{path}/log/{cfg.solver_prefix}ca-bas-m1/{nm}.log"
+        solve_mps(mps, method=method, basis_in_path=ca_bas, log_path=ca_log)
+
+
+def stage_cvt_to_pkl(cfg: Config) -> None:
+    """MPS + optimal .bas -> raw/*.pk graph blobs
+    (reference scripts/cvt_to_pkl.py:220-277)."""
+    sfx = cfg.get_method_sfx()
+    path = cfg.dataset_prefix
+    raw_dir = f"{cfg.dataset_processed_prefix}/raw"
+    mkdir_p(raw_dir)
+    for mps in _mps_files(cfg):
+        nm = extract_fn(mps)
+        dst = f"{raw_dir}/{nm}.pk"
+        if cfg.skip_exist and osp.exists(dst):
+            continue
+        bas_fn = f"{path}/{cfg.solver_prefix}basis{sfx}/{nm}.bas"
+        if not osp.exists(bas_fn):
+            logging.error("no basis for %s — skipped", nm)
+            continue
+        lp = read_mps(mps)
+        b_u = lp.b_u.copy()
+        b_l = lp.b_l.copy()
+        u = lp.ub.copy()
+        l = lp.lb.copy()
+        b_u[b_u > 1e308] = np.inf
+        b_l[b_l < -1e308] = -np.inf
+        u[u > 1e308] = np.inf
+        l[l < -1e308] = -np.inf
+        con_lbls, var_lbls = read_bas(bas_fn, lp.con_nms, lp.var_nms)
+        con_lbls = np.asarray(con_lbls, dtype=np.int64)
+        var_lbls = np.asarray(var_lbls, dtype=np.int64)
+        check_lb(var_lbls, l, lp.var_nms)
+        check_ub(var_lbls, u, lp.var_nms)
+        # constraint labels must be consistent with infinite row bounds
+        # (cvt_to_pkl.py:257-258)
+        assert (con_lbls[b_l == -np.inf] != 0).all()
+        assert (con_lbls[b_u == np.inf] != 2).all()
+        A = lp.A.tocoo()
+        msgpack_dump(
+            [lp.c, b_l, (A.row, A.col, A.data), b_u, l, u,
+             con_lbls, var_lbls,
+             np.asarray([str(s) for s in lp.con_nms], dtype=object).tolist(),
+             np.asarray([str(s) for s in lp.var_nms], dtype=object).tolist()],
+            dst)
+
+
+def stage_process(cfg: Config) -> None:
+    """raw -> processed feature graphs (reference dataset.py:178-224)."""
+    process_raw_dir(cfg.dataset_processed_prefix, skip_exist=bool(cfg.skip_exist))
+    ds = LPDataset(cfg.dataset_processed_prefix)
+    ds.cache_size_info(recache=not cfg.skip_exist)
+
+
+def stage_prep_data(cfg: Config, family: str | None = None,
+                    n_instances: int = 0, **kwargs) -> None:
+    """run_prep_data.py equivalent: [generate] -> solve -> pkl -> process."""
+    if n_instances:
+        stage_generate(cfg, family, n_instances, **kwargs)
+    stage_run_solver(cfg)
+    stage_cvt_to_pkl(cfg)
+    stage_process(cfg)
+
+
+# ------------------------------------------------------------------ L4 stages
+def stage_train(cfg: Config) -> str:
+    return run_exp(cfg)
+
+
+# ------------------------------------------------------------------ L5 stages
+def stage_pred_basis(cfg: Config, ckpt_path: str | None = None) -> str:
+    """Predict bases for the chosen split and write .bas files
+    (reference scripts/pred_basis.py main)."""
+    inf_mng = parse_inference_manager(cfg.inference_manager)
+    out_dir = osp.join(cfg.log_dir, inf_mng.get_basis_folder())
+    model = build_model(cfg.arch)
+    ckpt = load_ckpt(ckpt_path or cfg.load_from)
+    params = ckpt["params"]
+    ds = LPDataset(cfg.dataset_processed_prefix, load_meta=True)
+    train_ds, val_ds = split_train_val(ds, cfg.seed)
+    target = val_ds if cfg.split == "val" else ds
+    predict_and_write_bases(model, params, target, cfg, out_dir,
+                            decode_fn=inf_mng.decode_fn())
+    # timing pass (pred_basis.py:158-176)
+    dump_info = osp.join(cfg.log_dir, "time.h5")
+    if not osp.exists(dump_info):
+        ds_plain = LPDataset(cfg.dataset_processed_prefix)
+        ds_plain.dump_size_info(dump_info)
+    timed_inference(model, params, target, cfg, dump_info)
+    return out_dir
+
+
+# ------------------------------------------------------------------ L6 stages
+def stage_warm_start(cfg: Config) -> None:
+    """Warm-start the solver from predicted bases for the val split
+    (reference scripts/run_solver_from_basis.py)."""
+    solve_mps = _solve_backend(cfg)
+    inf_mng = parse_inference_manager(cfg.inference_manager)
+    basis_folder = inf_mng.get_basis_folder()
+    log_folder = inf_mng.get_log_folder()
+    method = cfg.normalized_lp_method()
+    if method != 1:
+        log_folder += f"-m{method}"
+    mkdir_p(f"{cfg.log_dir}/log/{log_folder}")
+    # copy the data-side baseline logs into the run dir (extract_time.py:35-36)
+    data_log = f"{cfg.dataset_prefix}/log"
+    if osp.isdir(data_log):
+        for d in os.listdir(data_log):
+            dst = f"{cfg.log_dir}/log/{d}"
+            if not osp.exists(dst):
+                shutil.copytree(f"{data_log}/{d}", dst)
+        ca = f"{cfg.log_dir}/log/{cfg.solver_prefix}ca-bas-m1"
+        ca_alias = f"{cfg.log_dir}/log/{cfg.solver_prefix}ca-bas"
+        if osp.isdir(ca) and not osp.exists(ca_alias):
+            shutil.copytree(ca, ca_alias)
+
+    dump_info = osp.join(cfg.log_dir, "time.h5")
+    ds = LPDataset(cfg.dataset_processed_prefix)
+    ds.dump_size_info(dump_info)
+    df = df_load(dump_info)
+    if cfg.split == "val":
+        fns = list(df.loc[df.split == "val", "fn"])
+    else:
+        fns = list(df["fn"])
+    for nm in fns:
+        mps = f"{cfg.dataset_prefix}/mps/{nm}.mps"
+        bas = f"{cfg.log_dir}/{basis_folder}/{nm}.bas"
+        if not osp.exists(bas):
+            logging.error("missing predicted basis %s", bas)
+            continue
+        out_bas = f"{cfg.log_dir}/opt-from-{basis_folder}/{nm}.bas"
+        log = f"{cfg.log_dir}/log/{log_folder}/{nm}.log"
+        res = solve_mps(mps, method=method, basis_in_path=bas,
+                        basis_out_path=out_bas, log_path=log)
+        logging.info("warm %s: %s %d iters", nm, res.status, res.niter)
+
+
+# ------------------------------------------------------------------ L7 stages
+def stage_val(cfg: Config, ckpt_path: str | None = None) -> float:
+    """Classification metrics vs labels into time.h5 (reference val.py main)."""
+    model = build_model(cfg.arch)
+    params = load_ckpt(ckpt_path or cfg.load_from)["params"]
+    ds = LPDataset(cfg.dataset_processed_prefix)
+    train_ds, val_ds = split_train_val(ds, cfg.seed)
+    dump_info = osp.join(cfg.log_dir, "time.h5")
+    if not osp.exists(dump_info):
+        ds.dump_size_info(dump_info)
+    _, avg_acc = validation(model, params, val_ds, cfg, dump_info)
+    logging.info("avg val acc %.4f", avg_acc)
+    return avg_acc
+
+
+def stage_extract(cfg: Config):
+    """Aggregate all logs into time.h5 + print the summary
+    (reference scripts/extract_time.py)."""
+    dump_info = osp.join(cfg.log_dir, "time.h5")
+    if not osp.exists(dump_info):
+        ds = LPDataset(cfg.dataset_processed_prefix)
+        ds.dump_size_info(dump_info)
+    df = collect_results(cfg.log_dir, dump_info, cfg.solver_prefix)
+    summary = summarize(df)
+    print(summary)
+    return df, summary
+
+
+def run_train_test(cfg: Config) -> dict:
+    """Full run_train_test.py pipeline: train -> predict -> warm start ->
+    val -> extract (reference run_train_test.py:11-19)."""
+    ckpt = stage_train(cfg)
+    stage_pred_basis(cfg, ckpt)
+    stage_warm_start(cfg)
+    stage_val(cfg, ckpt)
+    df, summary = stage_extract(cfg)
+    return {"ckpt": ckpt, "summary": summary, "df": df}

@@ -1,0 +1,148 @@
+"""Solver-log parsing and results aggregation.
+
+Roles of reference utils.py:571-660 (parsers) and scripts/extract_time.py
+(time.h5 aggregation + improvement-vs-baseline columns). The log format
+contract is shared by the highspy bridge and the native C++ solver runtime.
+
+Error codes (reference utils.py:621-626): -1 optimal not found, -2 parse
+failure, -3 missing file.
+"""
+from __future__ import annotations
+
+import os
+import os.path as osp
+import re
+
+import numpy as np
+import pandas as pd
+
+from ..io.bas import read_bas_highs
+from ..utils.misc import extract_fn
+from ..utils.serialize import df_dump, df_load
+
+
+def _read_lines(out: str) -> list[str]:
+    if out.endswith(".log"):
+        assert osp.exists(out), out
+        with open(out) as f:
+            return f.read().split("\n")
+    return out.split("\n")
+
+
+def extract_time(out: str):
+    """Parse (iterations, run_time) from a solver log
+    (reference utils.py:621-660)."""
+    lines = _read_lines(out)
+    iters, tm = 0, None
+    for line in lines:
+        if "unable open file" in line:
+            return -3, -3
+        if "status" in line and "Model" in line:
+            if "Optimal" not in line:
+                return -1, -1
+        if "iterations" in line:
+            m = re.findall(r"\d+", line)
+            if m:
+                iters = int(m[0])
+        if "run time" in line:
+            m = re.findall(r"\d*\.\d*", line)
+            if m:
+                tm = float(m[0])
+                return iters, tm
+    return -2, -2
+
+
+def extract_nrepair(out: str):
+    """(num_basis, n_slack_basis_begin, n_add_slack) for a warm-start log
+    (reference utils.py:571-597): n_add_slack from the 'Rank_deficiency N'
+    line printed by the native runtime during basis repair; the starting
+    composition is read from the matching pred-basis file."""
+    lines = _read_lines(out)
+    num_basis, n_slack_begin, n_add_slack = -1, -1, -1
+    n_add_slack = 0
+    if out.endswith(".log"):
+        pred_basis = f"{osp.dirname(out)}/../../pred-basis/{extract_fn(out)}.bas"
+        if osp.exists(pred_basis):
+            cs, _vs = read_bas_highs(pred_basis)
+            num_basis = len(cs)
+            n_slack_begin = int((cs == 1).sum())
+    for line in lines:
+        m = re.findall(r"Rank_deficiency (\d+)", line)
+        if m:
+            n_add_slack = int(m[0])
+    return num_basis, n_slack_begin, n_add_slack
+
+
+def extract_fact_time(out: str) -> float:
+    """Factorization time from 'time elapsed for factorize: X'
+    (reference utils.py:599-619; a native-runtime log line)."""
+    for line in _read_lines(out):
+        m = re.findall(r"time elapsed for factorize: ([e\-\d\.]+)", line)
+        if m:
+            return float(m[0])
+    return -1.0
+
+
+def map_back_to_baseline(log_fdl_nm: str, solver_pref: str = "highs-") -> str:
+    """Map a warm-start log folder to its cold baseline folder
+    (reference scripts/extract_time.py:8-22)."""
+    for method in ["m2", "m4", ""]:
+        sfx = f"-{method}" if method else ""
+        if re.match(f".*[(gnn)|(ca)]-bas.*{method}", log_fdl_nm):
+            return f"{solver_pref}no-bas{sfx}"
+    return ""
+
+
+def collect_results(log_dir: str, time_h5: str, solver_prefix: str = "highs-",
+                    mps_names=None) -> pd.DataFrame:
+    """Walk ``{log_dir}/log/*/*.log`` into time.h5 columns
+    ``{method}/niter|time`` plus repair/fact columns for gnn logs, then
+    compute ``impr_*`` vs the matched cold baseline
+    (reference scripts/extract_time.py:47-92)."""
+    df = df_load(time_h5)
+    log_root = osp.join(log_dir, "log")
+    methods = sorted(os.listdir(log_root)) if osp.isdir(log_root) else []
+    names = mps_names if mps_names is not None else list(df.fn)
+    for fn in names:
+        for method in methods:
+            tgt = osp.join(log_root, method, f"{fn}.log")
+            if not osp.exists(tgt):
+                continue
+            iters, tm = extract_time(tgt)
+            df.loc[df.fn == fn, f"{method}/niter"] = iters
+            df.loc[df.fn == fn, f"{method}/time"] = tm
+            if "gnn" in method:
+                num_basis, n_slack_begin, n_add = extract_nrepair(tgt)
+                if num_basis > 0:
+                    df.loc[df.fn == fn, f"{method}/repair_p"] = n_add / num_basis
+                    n_var_begin = num_basis - n_slack_begin
+                    df.loc[df.fn == fn, f"{method}/repair_p2"] = (
+                        n_add / n_var_begin if n_var_begin else np.inf)
+                ft = extract_fact_time(tgt)
+                df.loc[df.fn == fn, f"{method}/fact_time"] = ft
+    for colnm in list(df.columns):
+        bs_method = map_back_to_baseline(colnm, solver_prefix)
+        if not bs_method:
+            continue
+        method, impr = colnm.split("/")
+        if impr not in ("time", "niter"):
+            continue
+        base_col = f"{bs_method}/{impr}"
+        if base_col not in df:
+            continue
+        df[f"{method}/impr_{impr}"] = -(df[colnm] - df[base_col]) / df[base_col]
+    df_dump(df, time_h5)
+    return df
+
+
+def summarize(df: pd.DataFrame) -> pd.DataFrame:
+    """Per-split mean/std over metric columns
+    (reference scripts/extract_time.py:82-91)."""
+    cols = [c for c in df.columns
+            if c in ("acc", "prec", "recl") or "/niter" in c or "/time" in c
+            or "/impr" in c]
+    num = df[cols + ["split"]].copy()
+    for c in cols:
+        num[c] = pd.to_numeric(num[c], errors="coerce")
+        num.loc[num[c].isin([-1, -2, -3]), c] = np.nan
+    return num.groupby("split").agg(["mean", "std"]).T

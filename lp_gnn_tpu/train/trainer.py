@@ -1,0 +1,219 @@
+"""Training engine (role of reference train.py:55-172), TPU-first.
+
+Differences from the reference by design:
+
+- Graphs are padded to static bucket shapes host-side (data/batching.py); the
+  jitted train step compiles once per bucket instead of per graph.
+- Optimizer is optax with torch-Adam semantics: L2 weight decay added to the
+  gradient *before* the Adam moments (torch.optim.Adam(weight_decay=5e-4),
+  train.py:86), StepLR(step=epochs//4, gamma=0.1) stepped per epoch
+  (train.py:89).
+- Oversize graphs (> edge_num_thresh) use the host-side static-shape
+  subgraph sampler (data/sampling.py) replacing NeighborLoader
+  (train.py:111-116).
+- Checkpoint = full train state (params + opt state + epoch), written every
+  epoch (the reference saves weights only, train.py:154-157 — SURVEY §5
+  flags this as a gap the TPU build closes).
+"""
+from __future__ import annotations
+
+import dataclasses
+import logging
+import os
+import pickle
+import time
+from functools import partial
+from typing import Any
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..config import Config
+from ..data.batching import PaddedGraph, pad_graph
+from ..data.dataset import LPDataset, split_train_val
+from ..data.sampling import sample_subgraphs
+from ..models.gcn import build_model, Model
+from ..utils.misc import AverageMeter
+from ..utils.serialize import json_dump
+from .losses import LOSS_REGISTRY
+from ..infer.decode import decode_topm_device
+
+
+# ------------------------------------------------------------------ optimizer
+def make_optimizer(opt: str = "adam", weight_decay: float = 5e-4):
+    """Gradient transform matching torch.optim.{Adam,SGD}(weight_decay=...)
+    (reference train.py:85-88). LR is applied separately per epoch."""
+    if opt == "adam":
+        return optax.chain(
+            optax.add_decayed_weights(weight_decay),
+            optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8),
+        )
+    return optax.add_decayed_weights(weight_decay)   # SGD: g + wd*p
+
+
+def step_lr(base_lr: float, epochs: int, epoch: int, gamma: float = 0.1) -> float:
+    """StepLR(step_size=max(epochs//4,1), gamma=0.1) (reference train.py:89)."""
+    step_size = max(epochs // 4, 1)
+    return base_lr * gamma ** (epoch // step_size)
+
+
+# ----------------------------------------------------------------- train step
+def seed_masks(pg: PaddedGraph):
+    """Loss masks = first s_bs/t_bs real nodes (reference train.py:122-123)."""
+    mi = jnp.arange(pg.c_feas.shape[0]) < pg.s_bs
+    mj = jnp.arange(pg.v_feas.shape[0]) < pg.t_bs
+    return mi & pg.cons_mask, mj & pg.vars_mask
+
+
+def make_train_step(model: Model, loss_name: str, optimizer):
+    loss_fn = LOSS_REGISTRY[loss_name]
+
+    def compute_loss(params, pg, rng):
+        lc, lv = model.apply(params, pg, train=True, rng=rng)
+        ms, mt = seed_masks(pg)
+        loss = loss_fn(lc, lv, pg.y_s, pg.y_t, ms, mt)
+        return loss, (lc, lv, ms, mt)
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def train_step(params, opt_state, pg, rng, lr):
+        (loss, (lc, lv, ms, mt)), grads = jax.value_and_grad(
+            compute_loss, has_aux=True)(params, pg, rng)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        updates = jax.tree.map(lambda u: -lr * u, updates)
+        params = optax.apply_updates(params, updates)
+        # on-device seed accuracy via the same top-m decode the reference uses
+        # per step (train.py:132-137)
+        pc, pv = decode_topm_device(lc, lv, ms, mt, jnp.sum(ms))
+        correct = jnp.sum((pc == pg.y_s) & ms) + jnp.sum((pv == pg.y_t) & mt)
+        acc = correct / jnp.maximum(jnp.sum(ms) + jnp.sum(mt), 1)
+        return params, opt_state, loss, acc
+
+    return train_step
+
+
+# ------------------------------------------------------------------ metrics IO
+class MetricsWriter:
+    """jsonl metrics + optional TensorBoard (reference utils.py:395-415)."""
+
+    def __init__(self, log_dir: str, use_tb: bool = True):
+        os.makedirs(log_dir, exist_ok=True)
+        self.path = os.path.join(log_dir, "metrics.jsonl")
+        self._f = open(self.path, "a")
+        self.tb = None
+        if use_tb:
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+                self.tb = SummaryWriter(os.path.join(log_dir, "tb_logs"))
+            except Exception:
+                self.tb = None
+
+    def scalar(self, tag: str, value: float, step: int):
+        import json
+        self._f.write(json.dumps({"tag": tag, "value": float(value),
+                                  "step": int(step), "t": time.time()}) + "\n")
+        self._f.flush()
+        if self.tb is not None:
+            self.tb.add_scalar(tag, value, step)
+
+    def text(self, tag: str, value: str):
+        if self.tb is not None:
+            self.tb.add_text(tag, value)
+
+    def close(self):
+        self._f.close()
+        if self.tb is not None:
+            self.tb.close()
+
+
+# ---------------------------------------------------------------- checkpoints
+def save_ckpt(path: str, params, opt_state=None, epoch: int = 0, extra=None):
+    state = {"params": jax.device_get(params),
+             "opt_state": jax.device_get(opt_state) if opt_state is not None else None,
+             "epoch": epoch, "extra": extra or {}}
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        pickle.dump(state, f, protocol=pickle.HIGHEST_PROTOCOL)
+    os.replace(tmp, path)
+
+
+def load_ckpt(path: str):
+    with open(path, "rb") as f:
+        return pickle.load(f)
+
+
+# -------------------------------------------------------------------- run_exp
+def run_exp(cfg: Config, dataset: LPDataset | None = None) -> str:
+    """Full training run; returns the checkpoint path
+    (reference train.py:55-172)."""
+    log_dir = cfg.log_dir
+    writer = MetricsWriter(log_dir)
+    json_dump(cfg.to_dict(), os.path.join(log_dir, "args.json"))
+
+    ds = dataset or LPDataset(cfg.dataset_processed_prefix)
+    train_ds, _val_ds = split_train_val(ds, cfg.seed)
+
+    model = build_model(cfg.arch)
+    key = jax.random.PRNGKey(cfg.seed)
+    key, init_key = jax.random.split(key)
+    params = model.init(init_key)
+    if cfg.load_from.lower() != "none":
+        params = load_ckpt(cfg.load_from)["params"]
+        logging.info("warm-resumed weights from %s", cfg.load_from)
+
+    optimizer = make_optimizer(cfg.opt)
+    opt_state = optimizer.init(params)
+    train_step = make_train_step(model, cfg.loss, optimizer)
+
+    # host-side padded-graph cache: pad once, reuse across epochs
+    padded_cache: dict[int, PaddedGraph] = {}
+
+    def batches_for(idx: int, rng_np):
+        if idx not in padded_cache:
+            g = train_ds[idx]
+            if g.nnz <= cfg.edge_num_thresh:
+                padded_cache[idx] = pad_graph(g)
+            else:
+                padded_cache[idx] = None   # sampled path, not cached
+        pg = padded_cache[idx]
+        if pg is not None:
+            return [pg]
+        g = train_ds[idx]
+        depth = max(cfg.arch_depth() - 1, 1)
+        return sample_subgraphs(g, rng_np, fanout=[6] * depth,
+                                batch_size=cfg.batch_size)
+
+    loss_meter, acc_meter = AverageMeter(), AverageMeter()
+    glstep = 0
+    ckpt_path = os.path.join(log_dir, "mdl.ckpt")
+    rng_np = np.random.RandomState(cfg.seed)
+    n_train = len(train_ds)
+    for epoch in range(cfg.epochs):
+        lr = step_lr(cfg.lr, cfg.epochs, epoch)
+        loss_meter.reset(), acc_meter.reset()
+        order = rng_np.permutation(n_train)
+        for idx_graphs, gi in enumerate(order):
+            for pg in batches_for(int(gi), rng_np):
+                key, sk = jax.random.split(key)
+                glstep += 1
+                params, opt_state, loss, acc = train_step(
+                    params, opt_state, pg, sk, jnp.float32(lr))
+                loss_v = float(loss)
+                assert not np.isnan(loss_v), "nan loss (reference train.py:126)"
+                loss_meter.update(loss_v)
+                acc_meter.update(float(acc))
+                if glstep % 9 == 1:
+                    logging.info("ep %d %d/%d step %d loss %.4f acc %.4f lr %g",
+                                 epoch, idx_graphs, n_train, glstep,
+                                 loss_meter.avg, acc_meter.avg, lr)
+                    writer.scalar("epoch", epoch, glstep)
+                    writer.scalar("train/loss", loss_meter.avg, glstep)
+                    writer.scalar("train/acc", acc_meter.avg, glstep)
+                    writer.scalar("train/lr", lr, glstep)
+        save_ckpt(ckpt_path, params, opt_state, epoch,
+                  extra={"arch": cfg.arch, "loss": cfg.loss})
+    save_ckpt(ckpt_path, params, opt_state, cfg.epochs,
+              extra={"arch": cfg.arch, "loss": cfg.loss})
+    writer.close()
+    return ckpt_path

@@ -1,0 +1,53 @@
+"""Generate a synthetic LP family into the dataset layout.
+
+Role of reference scripts/generate_mps_files.py (whose CPLEX path is dead in
+the snapshot) — here fully self-contained.
+
+Usage:
+    python scripts/generate_data.py --dataset mirp_like --n_instances 40 \
+        [--family mirp_like] [--size small|demo|bench]
+"""
+import argparse
+import sys
+import os.path as osp
+
+sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
+
+from lp_gnn_tpu.config import parse_args  # noqa: E402
+from lp_gnn_tpu import pipeline  # noqa: E402
+
+SIZES = {
+    # family -> kwargs per size tier
+    "mirp_like": {
+        "small": dict(n_ports=4, n_periods=6),
+        "demo": dict(n_ports=15, n_periods=30, arc_density=0.4),
+        "bench": dict(n_ports=30, n_periods=60, arc_density=0.3),
+    },
+    "transport": {
+        "small": dict(m_src=6, n_dst=9),
+        "demo": dict(m_src=40, n_dst=60),
+        "bench": dict(m_src=120, n_dst=200),
+    },
+    "netflow": {
+        "small": dict(n_nodes=20, density=0.2),
+        "demo": dict(n_nodes=150, density=0.08),
+        "bench": dict(n_nodes=600, density=0.02),
+    },
+    "packing": {
+        "small": dict(m=20, n=40),
+        "demo": dict(m=200, n=400),
+        "bench": dict(m=800, n=1600),
+    },
+}
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n_instances", type=int, default=40)
+    ap.add_argument("--family", type=str, default=None)
+    ap.add_argument("--size", type=str, default="demo")
+    known, rest = ap.parse_known_args()
+    cfg = parse_args(rest, make_log_dir=False)
+    family = known.family or cfg.dataset.split("-")[0]
+    kwargs = SIZES.get(family, {}).get(known.size, {})
+    fns = pipeline.stage_generate(cfg, family, known.n_instances, **kwargs)
+    print(f"wrote {len(fns)} instances under {cfg.dataset_prefix}/mps")

@@ -1,0 +1,13 @@
+"""Cold-solve every instance + crash-basis baseline
+(reference scripts/run_solver.py)."""
+import sys
+import os.path as osp
+
+sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
+
+from lp_gnn_tpu.config import parse_args  # noqa: E402
+from lp_gnn_tpu import pipeline  # noqa: E402
+
+if __name__ == "__main__":
+    cfg = parse_args(make_log_dir=False)
+    pipeline.stage_run_solver(cfg)

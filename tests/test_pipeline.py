@@ -1,0 +1,73 @@
+"""End-to-end pipeline test on a tiny generated family: generate -> solve ->
+pkl -> process -> train -> predict -> warm start -> extract.
+
+This is the framework-level oracle: the warm-started solver must accept every
+predicted basis and reach Optimal, and the results table must contain the
+improvement columns (reference run_train_test.py flow)."""
+import os
+import os.path as osp
+
+import numpy as np
+import pytest
+
+from lp_gnn_tpu.config import Config
+from lp_gnn_tpu import pipeline
+from lp_gnn_tpu.data.dataset import LPDataset, split_train_val
+from lp_gnn_tpu.solver.highs_bridge import HAVE_HIGHS
+
+pytestmark = pytest.mark.skipif(not HAVE_HIGHS, reason="no vendored highspy")
+
+
+@pytest.fixture(scope="module")
+def tiny_cfg(tmp_path_factory):
+    root = tmp_path_factory.mktemp("e2e")
+    cfg = Config(
+        exp_nm="t-e2e", dataset="mirp_like",
+        data_prefix=str(root / "lp-dataset"), log_prefix=str(root / "runs"),
+        arch="GCN_FC(8,8,hids=32,depth=3)", loss="balanced",
+        epochs=40, lr=1e-3, seed=0, split="val",
+    ).finalize()
+    pipeline.stage_prep_data(cfg, family="mirp_like", n_instances=10,
+                             n_ports=4, n_periods=6)
+    return cfg
+
+
+def test_prep_data_layout(tiny_cfg):
+    cfg = tiny_cfg
+    assert len(os.listdir(f"{cfg.dataset_prefix}/mps")) == 10
+    assert len(os.listdir(f"{cfg.dataset_prefix}/highs-basis")) == 10
+    assert len(os.listdir(f"{cfg.dataset_prefix}/log/highs-no-bas")) == 10
+    assert len(os.listdir(f"{cfg.dataset_prefix}/log/highs-ca-bas-m1")) == 10
+    assert len(os.listdir(f"{cfg.dataset_processed_prefix}/raw")) == 10
+    proc = [f for f in os.listdir(f"{cfg.dataset_processed_prefix}/processed")
+            if f.endswith(".pk")]
+    assert len(proc) == 10
+
+
+def test_dataset_loads(tiny_cfg):
+    ds = LPDataset(tiny_cfg.dataset_processed_prefix)
+    assert len(ds) == 10
+    g = ds[0]
+    assert g.c_feas.shape[1] == 8 and g.v_feas.shape[1] == 8
+    tr, va = split_train_val(ds)
+    assert len(tr) == 7 and len(va) == 3
+    info = ds.cache_size_info()
+    assert len(info) == 10 and "num_basis_vars" in info
+
+
+def test_full_train_test(tiny_cfg):
+    cfg = tiny_cfg
+    out = pipeline.run_train_test(cfg)
+    assert osp.exists(out["ckpt"])
+    # predicted bases exist for val split and warm starts reached Optimal
+    df = out["df"]
+    val = df[df.split == "val"]
+    assert len(val) == 3
+    assert (val["gnn-bas-0/niter"] >= 0).all()
+    assert val["gnn-bas-0/niter"].notna().all()
+    assert val["highs-no-bas/niter"].notna().all()
+    assert "gnn-bas-0/impr_niter" in df.columns
+    # classification metrics recorded
+    assert val["acc"].notna().all()
+    # a trained model must beat random: accuracy above 0.5
+    assert val["acc"].mean() > 0.5
