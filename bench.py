@@ -1,0 +1,107 @@
+"""Benchmark: GCN_FC train-step SpMM throughput on one chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Metric: edge-traversals per second through the bipartite SpMM path during a
+full jitted train step (fwd + bwd + Adam) of the flagship
+GCN_FC(8,8,hids=H,depth=3) on a synthetic mirp-shaped LP graph.
+
+Per step each of the 2 conv layers runs 2 direction-SpMMs forward and 2
+transpose-SpMMs backward (ops/spmm.py custom VJP), i.e. 8 edge-traversals
+per edge per step:  value = E * 8 / step_time.
+
+The reference publishes no throughput numbers (BASELINE.md): its hot path is
+torch_sparse spmm (SURVEY.md §3.2). ``vs_baseline`` is measured against the
+naive TPU port of that pattern — gather + XLA scatter-add segment-sum — at
+11.2M edge-traversals/s on this chip (round-1 measurement of ops/spmm.py's
+``segment_spmm`` path, the implementation a direct translation of the
+reference would land on). The framework's chunked one-hot MXU SpMM
+(ops/spmm.py blocked_spmm) is what's being measured.
+"""
+import json
+import os
+import time
+
+import numpy as np
+
+E = int(os.environ.get("BENCH_EDGES", 1_000_000))
+M = int(os.environ.get("BENCH_CONS", 65_536))
+N = int(os.environ.get("BENCH_VARS", 131_072))
+HIDS = int(os.environ.get("BENCH_HIDS", 256))
+SPMM_PER_EDGE = 8  # 2 layers x 2 directions x (fwd + transpose-bwd)
+# XLA scatter-add segment-sum path on the same chip/shape (the naive port):
+# 715 ms/step == 11.2M edge-traversals/s (see module docstring)
+SCATTER_BASELINE_EDGES_S = 11.2e6
+
+
+def make_graph(seed=0):
+    from lp_gnn_tpu.data.batching import pad_graph
+    from lp_gnn_tpu.data.dataset import BipartiteGraph
+    rng = np.random.RandomState(seed)
+    # LP-shaped degrees: near-uniform rows (constraint nnz is bounded in
+    # practice) with mild hotspots
+    row = rng.randint(0, M, E).astype(np.int32)
+    hot = rng.rand(E) < 0.1
+    row[hot] = rng.randint(0, M // 16, hot.sum()).astype(np.int32)
+    col = rng.randint(0, N, E).astype(np.int32)
+    val = (rng.rand(E).astype(np.float32) - 0.5)
+    c_feas = (rng.rand(M, 8).astype(np.float32) - 0.5)
+    v_feas = (rng.rand(N, 8).astype(np.float32) - 0.5)
+    for fe in (c_feas, v_feas):
+        fe[:, -3] = rng.randint(-1, 2, fe.shape[0])
+        fe[:, -1] = rng.randint(-1, 2, fe.shape[0])
+    g = BipartiteGraph(row=row, col=col, val=val, c_feas=c_feas,
+                       v_feas=v_feas,
+                       y_s=rng.randint(0, 3, M).astype(np.int32),
+                       y_t=rng.randint(0, 3, N).astype(np.int32))
+    return pad_graph(g)
+
+
+def measure(device, pg, n_warmup=2, n_steps=5):
+    import jax
+    import jax.numpy as jnp
+    from lp_gnn_tpu.models.gcn import build_model
+    from lp_gnn_tpu.train.trainer import make_optimizer, make_train_step
+
+    model = build_model(f"GCN_FC(8,8,hids={HIDS},depth=3)")
+    with jax.default_device(device):
+        params = model.init(jax.random.PRNGKey(0))
+        optimizer = make_optimizer("adam")
+        opt_state = optimizer.init(params)
+        step = make_train_step(model, "balanced", optimizer)
+        pg_d = jax.device_put(pg, device)
+        rng = jax.random.PRNGKey(0)
+        lr = jnp.float32(1e-3)
+        for i in range(n_warmup):
+            params, opt_state, loss, _ = step(params, opt_state, pg_d, rng, lr)
+        float(loss)   # host transfer = true sync (axon's block_until_ready
+        # returns early on the tunnel transport)
+        t0 = time.time()
+        for i in range(n_steps):
+            params, opt_state, loss, _ = step(params, opt_state, pg_d, rng, lr)
+        float(loss)
+        return (time.time() - t0) / n_steps
+
+
+def main():
+    import jax
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.expanduser("~/.cache/lp_gnn_tpu_xla"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+    pg = make_graph()
+    dev = jax.devices()[0]
+    t_dev = measure(dev, pg)
+    value = E * SPMM_PER_EDGE / t_dev
+    print(json.dumps({
+        "metric": "spmm_edge_traversals_per_s_per_chip",
+        "value": round(value, 1),
+        "unit": "edges/s",
+        "vs_baseline": round(value / SCATTER_BASELINE_EDGES_S, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -37,7 +37,9 @@ from .dataset import BipartiteGraph
          data_fields=["row_r", "col_r", "val_r", "row_c", "col_c", "val_c",
                       "c_feas", "v_feas", "y_s", "y_t",
                       "cons_mask", "vars_mask", "ncons", "nvars", "nnz",
-                      "s_bs", "t_bs"],
+                      "s_bs", "t_bs",
+                      "blkr_src", "blkr_dst", "blkr_val", "blkr_out",
+                      "blkc_src", "blkc_dst", "blkc_val", "blkc_out"],
          meta_fields=[])
 @dataclasses.dataclass
 class PaddedGraph:
@@ -62,6 +64,18 @@ class PaddedGraph:
     # (reference dataset.py:319-326); == ncons/nvars for full graphs
     s_bs: np.ndarray       # () int32
     t_bs: np.ndarray       # () int32
+    # Chunked blocked edge layout for the MXU (one-hot einsum) SpMM path
+    # (ops/spmm.py blocked_spmm): destination rows cut into BLOCK_R-row
+    # blocks, each block's edges split into BLOCK_K-slot chunks; *_out maps
+    # chunks to destination blocks (skew-proof). None disables the path.
+    blkr_src: np.ndarray | None = None   # (B', K) int32 source (var) ids
+    blkr_dst: np.ndarray | None = None   # (B', K) int32 local dst in [0,R)
+    blkr_val: np.ndarray | None = None   # (B', K) float32
+    blkr_out: np.ndarray | None = None   # (B',) int32 dst block id
+    blkc_src: np.ndarray | None = None   # (C', K) int32 source (cons) ids
+    blkc_dst: np.ndarray | None = None   # (C', K) int32
+    blkc_val: np.ndarray | None = None   # (C', K) float32
+    blkc_out: np.ndarray | None = None   # (C',) int32
 
     @property
     def m_pad(self) -> int:
@@ -81,6 +95,57 @@ class PaddedGraph:
 
 def _round_up(x: int, mult: int) -> int:
     return ((max(x, 1) + mult - 1) // mult) * mult
+
+
+BLOCK_R = 128   # dst rows per block (MXU tile height)
+BLOCK_K = 512   # edges per chunk (MXU contraction depth)
+
+
+def block_layout(dst: np.ndarray, src: np.ndarray, val: np.ndarray,
+                 num_dst: int, R: int = BLOCK_R, K: int = BLOCK_K):
+    """Pack edges into the chunked per-dst-block layout for blocked_spmm.
+
+    Each R-row destination block's edges are split into ceil(cnt/K) chunks of
+    exactly K slots; ``out_blk`` maps every chunk back to its destination
+    block, so skewed rows cost extra chunks instead of inflating K (padding
+    waste is bounded by one chunk per block).
+
+    Returns (blk_src (B',K), blk_dst (B',K), blk_val (B',K), out_blk (B',),
+    n_blocks).
+    """
+    nblk = _round_up(num_dst, R) // R
+    if len(dst) == 0:
+        z = np.zeros((nblk, K), np.int32)
+        return (z, np.full((nblk, K), R - 1, np.int32),
+                np.zeros((nblk, K), np.float32),
+                np.arange(nblk, dtype=np.int32), nblk)
+    blk_of = dst // R
+    counts = np.bincount(blk_of, minlength=nblk)
+    starts = np.zeros(nblk + 1, np.int64)
+    np.cumsum(counts, out=starts[1:])
+    chunks_per_blk = np.maximum((counts + K - 1) // K, 1)
+    n_chunks = int(chunks_per_blk.sum())
+    blk_src = np.zeros((n_chunks, K), np.int32)
+    blk_dst = np.full((n_chunks, K), R - 1, np.int32)
+    blk_val = np.zeros((n_chunks, K), np.float32)
+    out_blk = np.zeros(n_chunks, np.int32)
+    ci = 0
+    for b in range(nblk):
+        s, e = int(starts[b]), int(starts[b + 1])
+        if s == e:
+            out_blk[ci] = b
+            ci += 1
+            continue
+        for cs in range(s, e, K):
+            ce = min(cs + K, e)
+            k = ce - cs
+            blk_src[ci, :k] = src[cs:ce]
+            blk_dst[ci, :k] = dst[cs:ce] - b * R
+            blk_val[ci, :k] = val[cs:ce]
+            out_blk[ci] = b
+            ci += 1
+    assert ci == n_chunks
+    return blk_src, blk_dst, blk_val, out_blk, nblk
 
 
 def make_buckets(base: int = 256, growth: float = 1.5, max_size: int = 1 << 28):
@@ -132,6 +197,12 @@ def pad_graph(g: BipartiteGraph, m_pad: int | None = None, n_pad: int | None = N
         out[: x.shape[0]] = x
         return out
 
+    blk_r = block_layout(row_r[:e] if e else row_r[:0],
+                         col_r[:e] if e else col_r[:0],
+                         val_r[:e] if e else val_r[:0], m_pad)
+    blk_c = block_layout(col_c[:e] if e else col_c[:0],
+                         row_c[:e] if e else row_c[:0],
+                         val_c[:e] if e else val_c[:0], n_pad)
     return PaddedGraph(
         row_r=row_r, col_r=col_r, val_r=val_r,
         row_c=row_c, col_c=col_c, val_c=val_c,
@@ -143,4 +214,8 @@ def pad_graph(g: BipartiteGraph, m_pad: int | None = None, n_pad: int | None = N
         ncons=np.int32(m), nvars=np.int32(n), nnz=np.int32(e),
         s_bs=np.int32(m if s_bs is None else s_bs),
         t_bs=np.int32(n if t_bs is None else t_bs),
+        blkr_src=blk_r[0], blkr_dst=blk_r[1], blkr_val=blk_r[2],
+        blkr_out=blk_r[3],
+        blkc_src=blk_c[0], blkc_dst=blk_c[1], blkc_val=blk_c[2],
+        blkc_out=blk_c[3],
     )

@@ -63,15 +63,81 @@ def _segment_spmm_bwd(num_dst, res, g):
 segment_spmm.defvjp(_segment_spmm_fwd, _segment_spmm_bwd)
 
 
+@partial(jax.custom_vjp, nondiff_argnums=(6,))
+def blocked_spmm(blk_src, blk_dst, blk_val, blk_out, x, transpose_blocks,
+                 num_blocks):
+    """Scatter-free SpMM on the MXU via chunked one-hot contraction.
+
+    The destination axis is pre-cut into blocks of R=128 rows, each block's
+    edges split into K-slot chunks (data/batching.py block_layout). Per
+    chunk, the K messages are contracted against a (K, R) one-hot matrix
+    built on the fly — a batched matmul XLA maps straight onto the MXU —
+    then chunk partials are combined per destination block with a cheap
+    sorted segment-sum over B' chunks. No TPU scatter-adds on the edge axis.
+    This is the framework's replacement for torch_sparse spmm
+    (SURVEY.md §2.2); it spends E*R*D extra MACs to buy matrix-unit
+    throughput instead of scatter serialization.
+
+    Args:
+      blk_src: (B', K) int32 source-node ids per chunk.
+      blk_dst: (B', K) int32 local destination row in [0, R).
+      blk_val: (B', K) float edge values (0 = padding).
+      blk_out: (B',) int32 destination block of each chunk (sorted).
+      x:       (S, D) source features.
+      transpose_blocks: (t_src, t_dst, t_val, t_out) for the VJP.
+      num_blocks: static int — number of destination blocks.
+    Returns: (num_blocks*R, D).
+    """
+    R = 128
+    msg = x[blk_src] * blk_val[..., None].astype(x.dtype)      # (B', K, D)
+    onehot = (blk_dst[..., None] ==
+              jax.lax.broadcasted_iota(jnp.int32, (1, 1, R), 2)).astype(x.dtype)
+    part = jnp.einsum("bkr,bkd->brd", onehot, msg,
+                      preferred_element_type=jnp.float32)      # (B', R, D)
+    out = jax.ops.segment_sum(part, blk_out, num_segments=num_blocks,
+                              indices_are_sorted=True)
+    return out.reshape(-1, x.shape[-1]).astype(x.dtype)
+
+
+def _blocked_spmm_fwd(blk_src, blk_dst, blk_val, blk_out, x, tr, num_blocks):
+    out = blocked_spmm(blk_src, blk_dst, blk_val, blk_out, x, tr, num_blocks)
+    return out, (tr, x.shape[0])
+
+
+def _blocked_spmm_bwd(num_blocks, res, g):
+    (t_src, t_dst, t_val, t_out), num_src = res
+    t_blocks = num_src // 128
+    dx = blocked_spmm(t_src, t_dst, t_val, t_out, g, None, t_blocks)[:num_src]
+    return None, None, None, None, dx, None
+
+
+blocked_spmm.defvjp(_blocked_spmm_fwd, _blocked_spmm_bwd)
+
+
 def spmm_cons_to_vars(pg, x_cons):
-    """out[j] = sum_i A_ij * x_cons[i]  — (N_pad, D). Uses col-sorted edges."""
+    """out[j] = sum_i A_ij * x_cons[i]  — (N_pad, D).
+
+    Uses the blocked MXU path when the graph carries a block layout, else
+    the sorted segment-sum path."""
+    if getattr(pg, "blkc_src", None) is not None and \
+            getattr(pg, "blkr_src", None) is not None:
+        tr = (pg.blkr_src, pg.blkr_dst, pg.blkr_val, pg.blkr_out)
+        out = blocked_spmm(pg.blkc_src, pg.blkc_dst, pg.blkc_val, pg.blkc_out,
+                           x_cons, tr, pg.v_feas.shape[0] // 128)
+        return out[: pg.v_feas.shape[0]]
     tr = (pg.row_r, pg.col_r, pg.val_r)
     return segment_spmm(pg.col_c, pg.row_c, pg.val_c, x_cons, tr,
                         pg.v_feas.shape[0])
 
 
 def spmm_vars_to_cons(pg, x_vars):
-    """out[i] = sum_j A_ij * x_vars[j]  — (M_pad, D). Uses row-sorted edges."""
+    """out[i] = sum_j A_ij * x_vars[j]  — (M_pad, D)."""
+    if getattr(pg, "blkr_src", None) is not None and \
+            getattr(pg, "blkc_src", None) is not None:
+        tr = (pg.blkc_src, pg.blkc_dst, pg.blkc_val, pg.blkc_out)
+        out = blocked_spmm(pg.blkr_src, pg.blkr_dst, pg.blkr_val, pg.blkr_out,
+                           x_vars, tr, pg.c_feas.shape[0] // 128)
+        return out[: pg.c_feas.shape[0]]
     tr = (pg.col_c, pg.row_c, pg.val_c)
     return segment_spmm(pg.row_r, pg.col_r, pg.val_r, x_vars, tr,
                         pg.c_feas.shape[0])

@@ -1,0 +1,302 @@
+"""Edge-partitioned execution of one large bipartite graph across a mesh.
+
+The flagship distributed feature (SURVEY.md §2.3): where the reference
+handles graphs too big for one device by neighbor-sampled minibatching
+(train.py:111-116), the TPU build executes the FULL graph across chips:
+
+- Constraint rows are range-partitioned into D blocks; each shard owns its
+  rows, their features, and *all edges incident to them* (1D row partition
+  of A). Variable features are likewise block-sharded.
+- Per bidirectional layer the collective pattern is the classic
+  all-gather / reduce-scatter decomposition of row-partitioned SpMM:
+
+      right_full = all_gather(right_local)          # vars for local gathers
+      left_new   = W (segsum_rows A_d right_full) + ...   # no comm, sharded
+      part       = segsum_cols A_d^T left_local           # (N,) partials
+      agg_v      = psum_scatter(part)               # summed var block
+      right_new  = W agg_v + ...                    # sharded linears
+
+  XLA lowers all_gather/psum_scatter onto ICI rings; dense linears run
+  D-way parallel on both sides.
+- Every parameter path touches shard-local tensors exactly once, so the
+  exact global gradient is ``psum`` of per-shard grads — no replicated
+  compute, no double counting.
+- The loss is computed from psum-reduced global sums (counts, weighted CE),
+  making it bit-equivalent to the single-chip ``balanced`` loss.
+
+Both shard-local edge orderings are precomputed host-side (row-sorted for
+the local direction, col-sorted for the partial-sum direction) so every
+``segment_sum`` stays on the sorted fast path — the distributed analog of
+data/batching.py's dual ordering.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from ..data.batching import PaddedGraph, _round_up
+from ..models.layers import linear_apply, add_knowledge, dropout
+
+SHARD_FIELDS = ["row_r", "col_r", "val_r", "row_c", "col_c", "val_c",
+                "c_feas", "y_s", "cons_mask", "v_feas", "y_t", "vars_mask"]
+
+
+@partial(jax.tree_util.register_dataclass,
+         data_fields=SHARD_FIELDS, meta_fields=["n_shards"])
+@dataclasses.dataclass
+class PartitionedGraph:
+    """Edge-partitioned padded graph. Leading axis = shard."""
+    # per-shard edges, row-sorted; row ids LOCAL to the shard's row block,
+    # col ids GLOBAL (used to gather from the all-gathered var features)
+    row_r: np.ndarray      # (D, Es) int32
+    col_r: np.ndarray      # (D, Es) int32
+    val_r: np.ndarray      # (D, Es) float32
+    # the same edges col-sorted (row local, col global)
+    row_c: np.ndarray      # (D, Es)
+    col_c: np.ndarray      # (D, Es)
+    val_c: np.ndarray      # (D, Es)
+    c_feas: np.ndarray     # (D, Ms, 8)
+    y_s: np.ndarray        # (D, Ms)
+    cons_mask: np.ndarray  # (D, Ms)
+    v_feas: np.ndarray     # (D, Ns, 8)
+    y_t: np.ndarray        # (D, Ns)
+    vars_mask: np.ndarray  # (D, Ns)
+    n_shards: int = 1
+
+    @property
+    def ms(self) -> int:
+        return self.c_feas.shape[-2]
+
+    @property
+    def ns(self) -> int:
+        return self.v_feas.shape[-2]
+
+    @property
+    def n_pad(self) -> int:
+        return self.ns * self.n_shards
+
+
+def partition_graph(pg: PaddedGraph, n_shards: int) -> PartitionedGraph:
+    """Host-side 1D row partition of a padded graph into ``n_shards``."""
+    m_pad = pg.c_feas.shape[0]
+    n_pad0 = pg.v_feas.shape[0]
+    ms = _round_up(m_pad, n_shards) // n_shards
+    ns = _round_up(n_pad0, n_shards) // n_shards
+    n_pad = ns * n_shards
+    row = np.asarray(pg.row_r)
+    col = np.asarray(pg.col_r)
+    val = np.asarray(pg.val_r)
+    shards = []
+    es = 1
+    for d in range(n_shards):
+        lo, hi = d * ms, (d + 1) * ms
+        sel = (row >= lo) & (row < hi) & (val != 0)
+        shards.append((row[sel], col[sel], val[sel]))
+        es = max(es, int(sel.sum()))
+    es = _round_up(es, 128)
+
+    def pack(r, c, v, lo):
+        rr = np.full(es, ms - 1, np.int32)
+        cc = np.full(es, n_pad - 1, np.int32)
+        vv = np.zeros(es, np.float32)
+        k = len(r)
+        rr[:k] = r - lo
+        cc[:k] = c
+        vv[:k] = v
+        return rr, cc, vv
+
+    def shard_nodes(x, per, fill=0):
+        tot = per * n_shards
+        out = np.full((tot,) + x.shape[1:], fill, dtype=x.dtype)
+        out[: x.shape[0]] = x
+        return out.reshape(n_shards, per, *x.shape[1:])
+
+    R_r, C_r, V_r, R_c, C_c, V_c = [], [], [], [], [], []
+    for d, (r, c, v) in enumerate(shards):
+        lo = d * ms
+        o1 = np.lexsort((c, r))
+        rr, cc, vv = pack(r[o1], c[o1], v[o1], lo)
+        R_r.append(rr), C_r.append(cc), V_r.append(vv)
+        o2 = np.lexsort((r, c))
+        rr, cc, vv = pack(r[o2], c[o2], v[o2], lo)
+        R_c.append(rr), C_c.append(cc), V_c.append(vv)
+
+    return PartitionedGraph(
+        row_r=np.stack(R_r), col_r=np.stack(C_r), val_r=np.stack(V_r),
+        row_c=np.stack(R_c), col_c=np.stack(C_c), val_c=np.stack(V_c),
+        c_feas=shard_nodes(np.asarray(pg.c_feas), ms),
+        y_s=shard_nodes(np.asarray(pg.y_s), ms),
+        cons_mask=shard_nodes(np.asarray(pg.cons_mask), ms, fill=False),
+        v_feas=shard_nodes(np.asarray(pg.v_feas), ns),
+        y_t=shard_nodes(np.asarray(pg.y_t), ns),
+        vars_mask=shard_nodes(np.asarray(pg.vars_mask), ns, fill=False),
+        n_shards=n_shards,
+    )
+
+
+# ----------------------------------------------------------- per-shard kernels
+def _dist_bidir_conv(p, shard, left_local, right_local, ms, n_pad, ax):
+    """Distributed GraphConvTwoDirection (models/layers.py semantics)."""
+    right_full = jax.lax.all_gather(right_local, ax, axis=0, tiled=True)
+    # cons <- vars: purely local rows
+    msg = right_full[shard["col_r"]] * shard["val_r"][:, None].astype(
+        right_full.dtype)
+    agg_c = jax.ops.segment_sum(msg, shard["row_r"], num_segments=ms,
+                                indices_are_sorted=True)
+    left_new = linear_apply(p["r2l"]["rel"], agg_c) + \
+        linear_apply(p["r2l"]["root"], left_local)
+    # vars <- cons: partial sums over the full var axis, then reduce-scatter
+    msg2 = left_local[shard["row_c"]] * shard["val_c"][:, None].astype(
+        left_local.dtype)
+    part = jax.ops.segment_sum(msg2, shard["col_c"], num_segments=n_pad,
+                               indices_are_sorted=True)
+    agg_v = jax.lax.psum_scatter(part, ax, scatter_dimension=0, tiled=True)
+    right_new = linear_apply(p["l2r"]["rel"], agg_v) + \
+        linear_apply(p["l2r"]["root"], right_local)
+    return left_new, right_new
+
+
+def dist_gcn_fc_apply(params, shard, ms, n_pad, ax, dp_rate=0.1,
+                      train=False, rng=None):
+    """Distributed GCN_FC forward on one shard (models/gcn.py make_gcn_fc)."""
+    x_left = shard["c_feas"]
+    x_right = shard["v_feas"]
+    left, right = _dist_bidir_conv(params["conv1"], shard, x_left, x_right,
+                                   ms, n_pad, ax)
+    left, right = jax.nn.relu(left), jax.nn.relu(right)
+    n_hidden = len(params["layers"])
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+    keys = jax.random.split(rng, 2 * max(n_hidden, 1))
+    for i, conv in enumerate(params["layers"]):
+        left, right = _dist_bidir_conv(conv, shard, left, right, ms, n_pad, ax)
+        left = dropout(left, dp_rate, keys[2 * i], train)
+        right = dropout(right, dp_rate, keys[2 * i + 1], train)
+        left, right = jax.nn.relu(left), jax.nn.relu(right)
+    left = linear_apply(params["lin_left"], left)
+    right = linear_apply(params["lin_right"], right)
+    return add_knowledge(left, right, x_left, x_right)
+
+
+# -------------------------------------------------------------- dist. losses
+def _ce(logits, labels):
+    logits = logits.astype(jnp.float32)
+    lse = jax.nn.logsumexp(logits, axis=-1)
+    picked = jnp.take_along_axis(logits, labels[:, None], axis=-1)[:, 0]
+    return lse - picked
+
+
+def dist_balanced_loss(lc, lv, y_s, y_t, mask_s, mask_t, ax):
+    """Distributed 'balanced' loss: identical value to train/losses.balanced
+    on the gathered graph; all reductions via psum."""
+    fs = mask_s.astype(jnp.float32)
+    ft = mask_t.astype(jnp.float32)
+    m = jax.lax.psum(jnp.sum(fs), ax)
+    n = jax.lax.psum(jnp.sum(ft), ax)
+
+    def side(logits, y, f):
+        cnt = jnp.stack([jax.lax.psum(jnp.sum((y == k) * f), ax)
+                         for k in range(3)])
+        total = cnt.sum()
+        wei = jnp.where(cnt > 0, total / jnp.maximum(cnt, 1), 0.0)
+        n_present = jnp.sum(cnt > 0)
+        merged = wei.at[0].set((wei[0] + wei[2]) / 2.0).at[2].set(
+            (wei[0] + wei[2]) / 2.0)
+        wei = jnp.where(n_present != 2, merged, wei)
+        w = wei[y] * f
+        num = jax.lax.psum(jnp.sum(w * _ce(logits, y)), ax)
+        den = jax.lax.psum(jnp.sum(w), ax)
+        return num / jnp.maximum(den, 1e-12)
+
+    loss = (m + n) / jnp.maximum(m, 1.0) * side(lc, y_s, fs)
+    loss += (m + n) / jnp.maximum(n, 1.0) * side(lv, y_t, ft)
+    return loss
+
+
+def dist_unbalanced_loss(lc, lv, y_s, y_t, mask_s, mask_t, ax):
+    fs = mask_s.astype(jnp.float32)
+    ft = mask_t.astype(jnp.float32)
+    num = jax.lax.psum(jnp.sum(_ce(lc, y_s) * fs) + jnp.sum(_ce(lv, y_t) * ft), ax)
+    den = jax.lax.psum(jnp.sum(fs) + jnp.sum(ft), ax)
+    return num / jnp.maximum(den, 1e-12)
+
+
+DIST_LOSSES = {"balanced": dist_balanced_loss, "unbalanced": dist_unbalanced_loss}
+
+
+# ------------------------------------------------------------------- wrappers
+def _data_dict(dg: PartitionedGraph):
+    return {f: getattr(dg, f) for f in SHARD_FIELDS}
+
+
+def _unshard(d):
+    return {k: v[0] for k, v in d.items()}
+
+
+def dist_apply(params, dg: PartitionedGraph, mesh: Mesh, ax: str = "edge",
+               dp_rate: float = 0.1, train: bool = False, rng=None):
+    """Full-graph distributed forward. Returns gathered logits
+    ((m_pad_total, 3), (n_pad_total, 3))."""
+    ms, n_pad = dg.ms, dg.n_pad
+
+    def body(params, data):
+        shard = _unshard(data)
+        lc, lv = dist_gcn_fc_apply(params, shard, ms, n_pad, ax,
+                                   dp_rate, train, rng)
+        return lc[None], lv[None]
+
+    fn = shard_map(body, mesh=mesh,
+                   in_specs=(P(), {f: P(ax) for f in SHARD_FIELDS}),
+                   out_specs=(P(ax), P(ax)), check_rep=False)
+    lc, lv = fn(params, _data_dict(dg))
+    return lc.reshape(-1, 3), lv.reshape(-1, 3)
+
+
+def make_dist_train_step(loss_name: str, optimizer, mesh: Mesh,
+                         ax: str = "edge", dp_rate: float = 0.1):
+    """Distributed training step over the ``edge`` axis; jit-able."""
+    dist_loss = DIST_LOSSES[loss_name]
+
+    def body(params, data, rng, lr, n_shards):
+        shard = _unshard(data)
+        ms = shard["c_feas"].shape[0]
+        n_pad = shard["v_feas"].shape[0] * n_shards
+
+        def compute_loss(params):
+            lc, lv = dist_gcn_fc_apply(params, shard, ms, n_pad, ax,
+                                       dp_rate, train=True, rng=rng)
+            loss = dist_loss(lc, lv, shard["y_s"], shard["y_t"],
+                             shard["cons_mask"], shard["vars_mask"], ax)
+            # Under check_rep=False the transpose of a plain psum is another
+            # psum, which inflates the cotangent by D for the loss-reduction
+            # psums (every shard re-computes the same replicated scalar).
+            # Scaling the per-shard loss by 1/D cancels that inflation
+            # exactly, so psum(per-shard grads) is the exact global gradient;
+            # all_gather/psum_scatter in the layers are true transposes of
+            # each other and need no correction.
+            return loss / n_shards
+
+        loss, grads = jax.value_and_grad(compute_loss)(params)
+        grads = jax.tree.map(lambda g: jax.lax.psum(g, ax), grads)
+        return loss * n_shards, grads
+
+    def train_step(params, opt_state, dg: PartitionedGraph, rng, lr):
+        fn = shard_map(partial(body, n_shards=dg.n_shards), mesh=mesh,
+                       in_specs=(P(), {f: P(ax) for f in SHARD_FIELDS},
+                                 P(), P()),
+                       out_specs=(P(), P()), check_rep=False)
+        loss, grads = fn(params, _data_dict(dg), rng, lr)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        updates = jax.tree.map(lambda u: -lr * u, updates)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return train_step

@@ -75,3 +75,42 @@ def test_sddmm(rng):
     out = np.asarray(sddmm(pg.row_r, pg.col_r, xc, xv))
     want = (xc[np.asarray(pg.row_r)] * xv[np.asarray(pg.col_r)]).sum(-1)
     np.testing.assert_allclose(out, want, atol=1e-5)
+
+
+def test_blocked_spmm_matches_segment(rng):
+    """The MXU blocked path must agree with the segment path fwd and bwd."""
+    from lp_gnn_tpu.ops.spmm import blocked_spmm, segment_spmm
+    pg, Af = make_graph(rng, m=5, n=7, e=40)
+    assert pg.blkr_src is not None and pg.blkc_src is not None
+    x_cons = rng.randn(pg.m_pad, 4).astype(np.float32)
+    out = np.asarray(spmm_cons_to_vars(pg, x_cons))
+    np.testing.assert_allclose(out, Af.T @ x_cons, atol=1e-5)
+
+    def f(x):
+        return (spmm_cons_to_vars(pg, x) ** 2).sum()
+
+    g = np.asarray(jax.grad(f)(x_cons))
+    np.testing.assert_allclose(g, 2 * Af @ (Af.T @ x_cons), atol=1e-4)
+
+
+def test_blocked_layout_skew_fallback(rng):
+    """Extreme skew disables the blocked layout; segment path still exact."""
+    from lp_gnn_tpu.data.batching import pad_graph as _pad
+    from lp_gnn_tpu.data.dataset import BipartiteGraph
+    m, n, e = 600, 600, 1200
+    row = np.zeros(e, np.int32)            # all edges on one row: max skew
+    row[:600] = np.arange(600)
+    col = rng.randint(0, n, e).astype(np.int32)
+    val = rng.randn(e).astype(np.float32)
+    g = BipartiteGraph(row=row, col=col, val=val,
+                       c_feas=np.zeros((m, 8), np.float32),
+                       v_feas=np.zeros((n, 8), np.float32),
+                       y_s=np.zeros(m, np.int32), y_t=np.zeros(n, np.int32))
+    pg = _pad(g)
+    # row direction is skewed (row 0 has ~600 edges in one 128-block)
+    Af = np.zeros((pg.m_pad, pg.n_pad), np.float32)
+    for r, c, v in zip(row, col, val):
+        Af[r, c] += v
+    x = rng.randn(pg.n_pad, 3).astype(np.float32)
+    out = np.asarray(spmm_vars_to_cons(pg, x))
+    np.testing.assert_allclose(out, Af @ x, atol=1e-4)

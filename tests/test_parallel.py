@@ -1,0 +1,127 @@
+"""Multi-chip tests on the virtual 8-device CPU mesh (SURVEY.md §4):
+edge-partitioned execution and DP must match single-chip bit-for-bit
+(same math, same collectives decomposition)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from lp_gnn_tpu.data.batching import pad_graph
+from lp_gnn_tpu.models.gcn import build_model
+from lp_gnn_tpu.parallel.mesh import make_mesh, parse_mesh_shape
+from lp_gnn_tpu.parallel.edge_partition import (
+    partition_graph, dist_apply, make_dist_train_step,
+)
+from lp_gnn_tpu.parallel.dp import stack_graphs, make_dp_train_step
+from lp_gnn_tpu.train.trainer import make_optimizer, make_train_step
+from lp_gnn_tpu.train.losses import balanced
+from lp_gnn_tpu.train.trainer import seed_masks
+from tests.test_models import make_pg
+
+
+def test_parse_mesh_shape():
+    assert parse_mesh_shape("dp=2,edge=4") == {"dp": 2, "edge": 4}
+    assert parse_mesh_shape("") == {}
+
+
+@pytest.mark.parametrize("n_shards", [2, 4, 8])
+def test_dist_forward_matches_single_chip(rng, n_shards):
+    pg = make_pg(rng, m=24, n=40, e=150)
+    model = build_model("GCN_FC(8,8,hids=16,depth=3)")
+    params = model.init(jax.random.PRNGKey(0))
+    lc_ref, lv_ref = model.apply(params, pg, train=False)
+
+    mesh = make_mesh({"edge": n_shards})
+    dg = partition_graph(pg, n_shards)
+    lc, lv = dist_apply(params, dg, mesh)
+    m_pad = pg.c_feas.shape[0]
+    n_pad = pg.v_feas.shape[0]
+    np.testing.assert_allclose(np.asarray(lc)[:m_pad], np.asarray(lc_ref),
+                               atol=5e-4)
+    np.testing.assert_allclose(np.asarray(lv)[:n_pad], np.asarray(lv_ref),
+                               atol=5e-4)
+
+
+def test_dist_train_step_matches_single_chip(rng):
+    """Loss and updated params after one distributed step must equal the
+    single-chip step (dropout disabled via dp_rate=0)."""
+    pg = make_pg(rng, m=24, n=40, e=150)
+    model = build_model("GCN_FC(8,8,hids=16,depth=3)")
+    params = model.init(jax.random.PRNGKey(0))
+    # SGD-style optimizer (g + wd*p) so the param delta is an affine image of
+    # the gradient — Adam's first step is ~sign(g), which amplifies fp32
+    # reduction-order noise on near-zero grads into full-lr differences.
+    optimizer = make_optimizer("sgd")
+    opt_state = optimizer.init(params)
+
+    # single-chip reference step without dropout
+    def single_loss(p):
+        lc, lv = model.apply(p, pg, train=False)
+        ms, mt = seed_masks(pg)
+        return balanced(lc, lv, pg.y_s, pg.y_t, ms, mt)
+
+    loss_ref, grads_ref = jax.value_and_grad(single_loss)(params)
+
+    mesh = make_mesh({"edge": 4})
+    dg = partition_graph(pg, 4)
+    step = make_dist_train_step("balanced", optimizer, mesh, dp_rate=0.0)
+    p2, _, loss = step(params, opt_state, dg, jax.random.PRNGKey(1),
+                       jnp.float32(1e-3))
+    assert np.isclose(float(loss), float(loss_ref), rtol=1e-5)
+    import optax
+    upd_ref, _ = optimizer.update(grads_ref, optimizer.init(params), params)
+    upd_ref = jax.tree.map(lambda u: -1e-3 * u, upd_ref)
+    p_ref = optax.apply_updates(params, upd_ref)
+    for a, b in zip(jax.tree.leaves(p2), jax.tree.leaves(p_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_dp_train_step_runs_and_improves(rng):
+    graphs = [make_pg(np.random.RandomState(i), m=6, n=10, e=18)
+              for i in range(8)]
+    batch = stack_graphs(graphs)
+    model = build_model("GCN_FC(8,8,hids=16,depth=3)")
+    params = model.init(jax.random.PRNGKey(0))
+    optimizer = make_optimizer("adam")
+    opt_state = optimizer.init(params)
+    mesh = make_mesh({"dp": 8})
+    step = make_dp_train_step(model, "balanced", optimizer, mesh)
+    losses = []
+    for i in range(15):
+        params, opt_state, loss = step(params, opt_state, batch,
+                                       jax.random.PRNGKey(i), jnp.float32(1e-3))
+        losses.append(float(loss))
+    assert losses[-1] < losses[0]
+
+
+def test_dp_step_matches_serial(rng):
+    """One DP step (dropout off) == one step on the serial mean-loss."""
+    import optax
+    graphs = [make_pg(np.random.RandomState(i), m=6, n=10, e=18)
+              for i in range(4)]
+    batch = stack_graphs(graphs)
+    model = build_model("GCN_FC(8,8,hids=16,depth=3)")
+    params = model.init(jax.random.PRNGKey(0))
+    optimizer = make_optimizer("adam")
+    mesh = make_mesh({"dp": 4})
+
+    from lp_gnn_tpu.train.losses import balanced as bal
+
+    def serial_mean_loss(p):
+        tot = 0.0
+        for pg in graphs:
+            lc, lv = model.apply(p, pg, train=False)
+            ms, mt = seed_masks(pg)
+            tot = tot + bal(lc, lv, pg.y_s, pg.y_t, ms, mt)
+        return tot / len(graphs)
+
+    loss_ref, g_ref = jax.value_and_grad(serial_mean_loss)(params)
+    upd, _ = optimizer.update(g_ref, optimizer.init(params), params)
+    p_ref = optax.apply_updates(params, jax.tree.map(lambda u: -1e-3 * u, upd))
+
+    step = make_dp_train_step(model, "balanced", optimizer, mesh, train=False)
+    p2, _, loss_d = step(params, optimizer.init(params), batch,
+                         jax.random.PRNGKey(0), jnp.float32(1e-3))
+    assert np.isclose(float(loss_d), float(loss_ref), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(p2), jax.tree.leaves(p_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
