@@ -1,0 +1,697 @@
+// tpulp — bounded-variable revised simplex runtime (C++17).
+//
+// The framework's native solver component: the role the customized HiGHS
+// fork plays in the reference (SURVEY.md §2.2) — simplex with basis-in /
+// basis-out warm starting, dual (method 1) and primal (method 4) strategies,
+// rank-deficiency repair counting during warm-start factorization and
+// factorization-time reporting (the custom log lines the reference parsers
+// read, utils.py:571-660).
+//
+// Formulation:  min c.x   s.t.  b_l <= Ax <= b_u,  lb <= x <= ub
+// Internally augmented with logicals s = Ax:  W = [A  -I], z = [x; s],
+// bounds [lb;b_l] <= z <= [ub;b_u]; a basis is m columns of W.
+//
+// Linear algebra: dense LU with partial pivoting + product-form eta updates,
+// refactorized every REFRESH pivots (suited to the moderate row counts of
+// LP-GNN training instances; a sparse Markowitz LU is the planned upgrade).
+//
+// Algorithms:
+//  - primal: composite phase-1 (minimize infeasibility) + bounded phase-2
+//    with bound flips and a Harris-lite two-pass ratio test.
+//  - dual: bound-flip restoration of dual feasibility (boxed columns),
+//    artificial "big bound" for non-boxed dual-infeasible columns, simple
+//    dual ratio test; primal cleanup if artificial bounds remain active.
+//
+// C API at the bottom (tpulp_solve) matches solver/native.py.
+
+#include <algorithm>
+#include <chrono>
+#include <cmath>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <limits>
+#include <vector>
+
+namespace {
+
+constexpr double INF = std::numeric_limits<double>::infinity();
+constexpr double FEAS_TOL = 1e-7;
+constexpr double DUAL_TOL = 1e-7;
+constexpr double PIVOT_TOL = 1e-8;
+constexpr double ZERO_TOL = 1e-12;
+constexpr double BIG_BND = 1e7;
+constexpr int REFRESH = 60;
+
+enum Status { LL = 0, BASIC = 1, UL = 2, FZ = 3 };
+enum Result { OPTIMAL = 0, INFEASIBLE = 1, UNBOUNDED = 2, ITERLIMIT = 3,
+              NUMFAIL = 4 };
+
+struct Clock {
+  std::chrono::steady_clock::time_point t0 = std::chrono::steady_clock::now();
+  double secs() const {
+    return std::chrono::duration<double>(
+        std::chrono::steady_clock::now() - t0).count();
+  }
+};
+
+struct Eta {
+  int r;
+  double wr;
+  std::vector<std::pair<int, double>> w;  // entries i != r
+};
+
+struct Solver {
+  int m, n, N;                      // N = n + m
+  // column storage of W = [A -I]: structural cols CSC, logical col j=n+i
+  std::vector<int> Ap, Ai;
+  std::vector<double> Ax;
+  std::vector<double> cost, lo, hi;   // length N (phase-2 cost; logicals 0)
+  std::vector<double> lo_orig, hi_orig;  // before artificial bounds
+  std::vector<int> basic;             // m basis variable indices
+  std::vector<int> pos_in_basis;      // N: -1 or basis position
+  std::vector<int> vstat;             // N
+  std::vector<double> x;              // N current values
+  // factorization
+  std::vector<double> LUmat;          // m*m row-major
+  std::vector<int> prow;              // row permutation
+  std::vector<Eta> etas;
+  // stats
+  long long niter = 0;
+  int nrepair = 0;
+  double fact_time = 0.0;
+  long long max_iter = 0;
+
+  void col_of(int j, std::vector<std::pair<int, double>>& out) const {
+    out.clear();
+    if (j < n) {
+      for (int k = Ap[j]; k < Ap[j + 1]; ++k) out.push_back({Ai[k], Ax[k]});
+    } else {
+      out.push_back({j - n, -1.0});
+    }
+  }
+
+  // ------------------------------------------------------------- factorize
+  // Builds LU of the basis; singular columns are replaced by the logical of
+  // the stuck pivot row (rank-deficiency repair, counted when counting=true).
+  int factorize(bool counting) {
+    Clock ck;
+    const int M = m;
+    for (int attempt = 0;; ++attempt) {
+      if (attempt > m + 4) return -1;
+      LUmat.assign((size_t)M * M, 0.0);
+      std::vector<std::pair<int, double>> colbuf;
+      for (int k = 0; k < M; ++k) {
+        col_of(basic[k], colbuf);
+        for (auto& e : colbuf) LUmat[(size_t)e.first * M + k] = e.second;
+      }
+      prow.resize(M);
+      for (int i = 0; i < M; ++i) prow[i] = i;
+      bool repaired = false;
+      for (int k = 0; k < M; ++k) {
+        // partial pivot on column k
+        int p = k;
+        double best = std::fabs(LUmat[(size_t)prow[k] * M + k]);
+        for (int i = k + 1; i < M; ++i) {
+          double v = std::fabs(LUmat[(size_t)prow[i] * M + k]);
+          if (v > best) { best = v; p = i; }
+        }
+        if (best < PIVOT_TOL) {
+          // basis column k is dependent: swap in the logical of pivot row
+          int r = prow[k];
+          int old = basic[k];
+          int logical = n + r;
+          if (pos_in_basis[logical] >= 0) {
+            // logical already basic elsewhere; find any nonbasic logical of
+            // an unpivoted row
+            int found = -1;
+            for (int i = k; i < M && found < 0; ++i) {
+              int cand = n + prow[i];
+              if (pos_in_basis[cand] < 0) found = cand;
+            }
+            if (found < 0) return -1;
+            logical = found;
+          }
+          pos_in_basis[old] = -1;
+          vstat[old] = nearest_bound_status(old);
+          x[old] = status_value(old);
+          basic[k] = logical;
+          pos_in_basis[logical] = k;
+          vstat[logical] = BASIC;
+          if (counting) ++nrepair;
+          repaired = true;
+          break;
+        }
+        std::swap(prow[k], prow[p]);
+        double pivot = LUmat[(size_t)prow[k] * M + k];
+        for (int i = k + 1; i < M; ++i) {
+          double f = LUmat[(size_t)prow[i] * M + k] / pivot;
+          LUmat[(size_t)prow[i] * M + k] = f;
+          if (f != 0.0) {
+            double* __restrict ri = &LUmat[(size_t)prow[i] * M];
+            const double* __restrict rk = &LUmat[(size_t)prow[k] * M];
+            for (int jj = k + 1; jj < M; ++jj) ri[jj] -= f * rk[jj];
+          }
+        }
+      }
+      if (!repaired) {
+        etas.clear();
+        fact_time += ck.secs();
+        return 0;
+      }
+    }
+  }
+
+  int nearest_bound_status(int j) const {
+    if (std::isfinite(lo[j])) return LL;
+    if (std::isfinite(hi[j])) return UL;
+    return FZ;
+  }
+  double status_value(int j) const {
+    switch (vstat[j]) {
+      case LL: return lo[j];
+      case UL: return hi[j];
+      default: return 0.0;
+    }
+  }
+
+  // solve B v = rhs in place
+  void ftran(std::vector<double>& v) const {
+    const int M = m;
+    // Ly = Pv ; Ux = y
+    std::vector<double> y(M);
+    for (int i = 0; i < M; ++i) y[i] = v[prow[i]];
+    for (int k = 0; k < M; ++k) {
+      double yk = y[k];
+      if (yk != 0.0) {
+        for (int i = k + 1; i < M; ++i)
+          y[i] -= LUmat[(size_t)prow[i] * M + k] * yk;
+      }
+    }
+    for (int k = M - 1; k >= 0; --k) {
+      double s = y[k];
+      const double* __restrict rk = &LUmat[(size_t)prow[k] * M];
+      for (int jj = k + 1; jj < M; ++jj) s -= rk[jj] * y[jj];
+      y[k] = s / rk[k];
+    }
+    v = y;
+    for (const auto& e : etas) {
+      double vr = v[e.r] / e.wr;
+      if (vr != 0.0) {
+        for (auto& p : e.w) v[p.first] -= p.second * vr;
+      }
+      v[e.r] = vr;
+    }
+  }
+
+  // solve B^T v = rhs in place
+  void btran(std::vector<double>& v) const {
+    const int M = m;
+    for (auto it = etas.rbegin(); it != etas.rend(); ++it) {
+      double s = v[it->r];
+      for (auto& p : it->w) s -= p.second * v[p.first];
+      v[it->r] = s / it->wr;
+    }
+    // U^T y = v ; L^T z = y ; out = P^T z
+    std::vector<double> y(M);
+    for (int k = 0; k < M; ++k) {
+      double s = v[k];
+      for (int i = 0; i < k; ++i) s -= LUmat[(size_t)prow[i] * M + k] * y[i];
+      y[k] = s / LUmat[(size_t)prow[k] * M + k];
+    }
+    for (int k = M - 1; k >= 0; --k) {
+      double s = y[k];
+      for (int i = k + 1; i < M; ++i)
+        s -= LUmat[(size_t)prow[i] * M + k] * y[i];
+      y[k] = s;
+    }
+    std::vector<double> out(M);
+    for (int i = 0; i < M; ++i) out[prow[i]] = y[i];
+    v = out;
+  }
+
+  // recompute basic values: B x_B = -N x_N  (W z = 0)
+  void compute_xb() {
+    std::vector<double> rhs(m, 0.0);
+    std::vector<std::pair<int, double>> colbuf;
+    for (int j = 0; j < N; ++j) {
+      if (vstat[j] == BASIC) continue;
+      double xj = status_value(j);
+      x[j] = xj;
+      if (xj == 0.0) continue;
+      col_of(j, colbuf);
+      for (auto& e : colbuf) rhs[e.first] -= e.second * xj;
+    }
+    ftran(rhs);
+    for (int k = 0; k < m; ++k) x[basic[k]] = rhs[k];
+  }
+
+  void push_eta(int r, const std::vector<double>& w) {
+    Eta e;
+    e.r = r;
+    e.wr = w[r];
+    for (int i = 0; i < m; ++i)
+      if (i != r && std::fabs(w[i]) > ZERO_TOL) e.w.push_back({i, w[i]});
+    etas.push_back(std::move(e));
+  }
+
+  bool need_refresh() const { return (int)etas.size() >= REFRESH; }
+
+  // d_j = cost_j - y.W_j for one column
+  double reduced_cost(int j, const std::vector<double>& y,
+                      const std::vector<double>& costv) const {
+    double d = costv[j];
+    if (j < n) {
+      for (int k = Ap[j]; k < Ap[j + 1]; ++k) d -= y[Ai[k]] * Ax[k];
+    } else {
+      d += y[j - n];
+    }
+    return d;
+  }
+
+  // ---------------------------------------------------------------- primal
+  // Returns Result. phase1: minimize total bound violation of basics.
+  int primal(bool phase1_allowed) {
+    std::vector<double> y(m), w(m), costv;
+    std::vector<std::pair<int, double>> colbuf;
+    int stall = 0;
+    bool bland = false;
+    for (;;) {
+      if (niter >= max_iter) return ITERLIMIT;
+      // classify infeasibilities
+      double tot_infeas = 0.0;
+      for (int k = 0; k < m; ++k) {
+        int j = basic[k];
+        if (x[j] < lo[j] - FEAS_TOL) tot_infeas += lo[j] - x[j];
+        else if (x[j] > hi[j] + FEAS_TOL) tot_infeas += x[j] - hi[j];
+      }
+      bool phase1 = tot_infeas > FEAS_TOL;
+      if (phase1 && !phase1_allowed) return NUMFAIL;
+      // cost vector for this iteration
+      costv.assign(N, 0.0);
+      if (phase1) {
+        for (int k = 0; k < m; ++k) {
+          int j = basic[k];
+          if (x[j] < lo[j] - FEAS_TOL) costv[j] = -1.0;
+          else if (x[j] > hi[j] + FEAS_TOL) costv[j] = 1.0;
+        }
+      } else {
+        costv = cost;
+      }
+      // y = B^-T c_B
+      for (int k = 0; k < m; ++k) y[k] = costv[basic[k]];
+      btran(y);
+      // pricing
+      int q = -1;
+      double best = bland ? 0.0 : DUAL_TOL;
+      int dirq = 0;
+      for (int j = 0; j < N; ++j) {
+        if (vstat[j] == BASIC) continue;
+        if (lo[j] == hi[j]) continue;  // fixed
+        double d = reduced_cost(j, y, costv);
+        double viol = 0.0;
+        int dir = 0;
+        if (vstat[j] == LL || (vstat[j] == FZ && d < 0)) {
+          if (d < -DUAL_TOL) { viol = -d; dir = +1; }
+        }
+        if (vstat[j] == UL || (vstat[j] == FZ && d > 0)) {
+          if (d > DUAL_TOL) { viol = d; dir = -1; }
+        }
+        if (dir != 0) {
+          if (bland) { q = j; dirq = dir; break; }
+          if (viol > best) { best = viol; q = j; dirq = dir; }
+        }
+      }
+      if (q < 0) {
+        return phase1 ? INFEASIBLE : OPTIMAL;
+      }
+      // direction w = B^-1 W_q ; basics change by -t*dir*w
+      col_of(q, colbuf);
+      std::fill(w.begin(), w.end(), 0.0);
+      for (auto& e : colbuf) w[e.first] = e.second;
+      ftran(w);
+      // ratio test
+      double limit = INF;
+      if (std::isfinite(hi[q]) && std::isfinite(lo[q]))
+        limit = hi[q] - lo[q];  // bound flip
+      int rleave = -1;
+      double t_max = limit;
+      int leave_to = 0;
+      // pass 1: min ratio with tolerance; pass 2: best pivot among near-min
+      for (int pass = 0; pass < 2; ++pass) {
+        double tbest = t_max;
+        double bestpiv = 0.0;
+        int rb = -1, lt = 0;
+        for (int k = 0; k < m; ++k) {
+          double rate = -dirq * w[k];   // dx_basic[k]/dt
+          if (std::fabs(rate) < PIVOT_TOL) continue;
+          int j = basic[k];
+          double t = INF;
+          int to = 0;
+          bool below = x[j] < lo[j] - FEAS_TOL;
+          bool above = x[j] > hi[j] + FEAS_TOL;
+          if (rate > 0) {  // x_j increases
+            double tgt = above ? INF : hi[j];
+            if (below) tgt = lo[j];        // phase1: stop at lower bound
+            if (std::isfinite(tgt)) { t = (tgt - x[j]) / rate; to = (below ? LL : UL); }
+          } else {         // x_j decreases
+            double tgt = below ? -INF : lo[j];
+            if (above) tgt = hi[j];        // phase1: stop at upper bound
+            if (std::isfinite(tgt)) { t = (tgt - x[j]) / rate; to = (above ? UL : LL); }
+          }
+          if (t == INF) continue;
+          if (t < 0) t = 0;
+          double slack = pass == 0 ? FEAS_TOL / std::max(std::fabs(rate), 1e-12) : 0.0;
+          if (pass == 0) {
+            if (t < tbest) tbest = t;
+          } else {
+            if (t <= t_max + 1e-9) {
+              double piv = std::fabs(w[k]);
+              if (piv > bestpiv) { bestpiv = piv; rb = k; lt = to; }
+            }
+          }
+          (void)slack;
+        }
+        if (pass == 0) {
+          t_max = tbest;
+        } else {
+          rleave = rb;
+          leave_to = lt;
+        }
+      }
+      if (t_max == INF && rleave < 0) {
+        return phase1 ? NUMFAIL : UNBOUNDED;
+      }
+      ++niter;
+      double t = std::min(t_max, limit);
+      // apply step
+      if (t > 0) {
+        for (int k = 0; k < m; ++k) x[basic[k]] -= t * dirq * w[k];
+        x[q] += t * dirq;
+      }
+      if (rleave < 0 || (limit <= t_max + 1e-12 && limit < INF &&
+                         std::fabs(limit - t) < 1e-12 && rleave < 0)) {
+        // bound flip
+        vstat[q] = (vstat[q] == LL) ? UL : LL;
+        x[q] = status_value(q);
+        stall = 0;
+        continue;
+      }
+      if (limit < t_max) {
+        // flip happens strictly before any basic hits a bound
+        vstat[q] = (vstat[q] == LL) ? UL : LL;
+        x[q] = status_value(q);
+        stall = 0;
+        continue;
+      }
+      // pivot: q enters at basis position rleave
+      int jl = basic[rleave];
+      vstat[jl] = leave_to;
+      // snap leaving variable exactly to its bound
+      x[jl] = status_value(jl);
+      pos_in_basis[jl] = -1;
+      basic[rleave] = q;
+      pos_in_basis[q] = rleave;
+      vstat[q] = BASIC;
+      push_eta(rleave, w);
+      if (t <= 1e-12) {
+        if (++stall > 400) bland = true;
+      } else {
+        stall = 0;
+        bland = false;
+      }
+      if (need_refresh()) {
+        if (factorize(false) != 0) return NUMFAIL;
+        compute_xb();
+      }
+    }
+  }
+
+  // ------------------------------------------------------------------ dual
+  int dual() {
+    // restore dual feasibility: flips for boxed, artificial bounds else
+    std::vector<double> y(m);
+    for (int k = 0; k < m; ++k) y[k] = cost[basic[k]];
+    btran(y);
+    bool artificial = false;
+    for (int j = 0; j < N; ++j) {
+      if (vstat[j] == BASIC || lo[j] == hi[j]) continue;
+      double d = reduced_cost(j, y, cost);
+      bool wants_low = d >= -DUAL_TOL;   // at lower requires d >= 0
+      if ((vstat[j] == LL || vstat[j] == FZ) && d < -DUAL_TOL) {
+        if (std::isfinite(hi[j])) {
+          vstat[j] = UL;
+        } else {
+          hi[j] = (std::isfinite(lo[j]) ? lo[j] : 0.0) + BIG_BND;
+          vstat[j] = UL;
+          artificial = true;
+        }
+      } else if ((vstat[j] == UL || vstat[j] == FZ) && d > DUAL_TOL) {
+        if (std::isfinite(lo[j])) {
+          vstat[j] = LL;
+        } else {
+          lo[j] = (std::isfinite(hi[j]) ? hi[j] : 0.0) - BIG_BND;
+          vstat[j] = LL;
+          artificial = true;
+        }
+      }
+      (void)wants_low;
+    }
+    compute_xb();
+
+    std::vector<double> rho(m), w(m);
+    std::vector<std::pair<int, double>> colbuf;
+    std::vector<double> alpha(N);
+    int stall = 0;
+    bool bland = false;
+    int res = OPTIMAL;
+    for (;;) {
+      if (niter >= max_iter) { res = ITERLIMIT; break; }
+      // leaving: largest primal violation
+      int rlv = -1;
+      double best = FEAS_TOL;
+      int sgn = 0;  // +1 below lower, -1 above upper
+      for (int k = 0; k < m; ++k) {
+        int j = basic[k];
+        double v1 = lo[j] - x[j];
+        double v2 = x[j] - hi[j];
+        if (v1 > best) { best = v1; rlv = k; sgn = +1; }
+        if (v2 > best) { best = v2; rlv = k; sgn = -1; }
+      }
+      if (rlv < 0) { res = OPTIMAL; break; }
+      // rho = B^-T e_r ; alpha_j = rho . W_j
+      std::fill(rho.begin(), rho.end(), 0.0);
+      rho[rlv] = 1.0;
+      btran(rho);
+      // duals y for reduced costs
+      for (int k = 0; k < m; ++k) y[k] = cost[basic[k]];
+      btran(y);
+      // dual ratio test
+      int q = -1;
+      double tbest = INF;
+      double bestpiv = 0.0;
+      for (int j = 0; j < N; ++j) {
+        if (vstat[j] == BASIC || lo[j] == hi[j]) continue;
+        // alpha_j = rho . W_j
+        double aj;
+        {
+          double s = 0.0;
+          if (j < n) {
+            for (int k2 = Ap[j]; k2 < Ap[j + 1]; ++k2) s += rho[Ai[k2]] * Ax[k2];
+          } else {
+            s = -rho[j - n];
+          }
+          aj = s;
+        }
+        double e = sgn * aj;
+        bool elig = false;
+        if (vstat[j] == LL && e < -PIVOT_TOL) elig = true;       // d>=0, x can rise
+        else if (vstat[j] == UL && e > PIVOT_TOL) elig = true;   // d<=0, x can fall
+        else if (vstat[j] == FZ && std::fabs(e) > PIVOT_TOL) elig = true;
+        if (!elig) continue;
+        double d = reduced_cost(j, y, cost);
+        double ratio = std::fabs(d) / std::fabs(aj);
+        if (bland) { if (q < 0) { q = j; tbest = ratio; } continue; }
+        if (ratio < tbest - 1e-12 ||
+            (ratio < tbest + 1e-9 && std::fabs(aj) > bestpiv)) {
+          tbest = ratio;
+          bestpiv = std::fabs(aj);
+          q = j;
+        }
+      }
+      if (q < 0) { res = INFEASIBLE; break; }   // primal infeasible
+      // pivot: q enters, basic[rlv] leaves to its violated bound
+      col_of(q, colbuf);
+      std::fill(w.begin(), w.end(), 0.0);
+      for (auto& e2 : colbuf) w[e2.first] = e2.second;
+      ftran(w);
+      if (std::fabs(w[rlv]) < PIVOT_TOL) {
+        if (factorize(false) != 0) { res = NUMFAIL; break; }
+        compute_xb();
+        if (++stall > 50) { res = NUMFAIL; break; }
+        continue;
+      }
+      ++niter;
+      int jl = basic[rlv];
+      double target = (sgn > 0) ? lo[jl] : hi[jl];
+      double t = (x[jl] - target) / w[rlv];  // step along -w adds to x_q?
+      // x_B' = x_B - t*w ; x_q' = x_q + t  solves  B x_B + a_q x_q const
+      for (int k = 0; k < m; ++k) x[basic[k]] -= t * w[k];
+      x[q] += t;
+      vstat[jl] = (sgn > 0) ? LL : UL;
+      x[jl] = target;
+      pos_in_basis[jl] = -1;
+      basic[rlv] = q;
+      pos_in_basis[q] = rlv;
+      vstat[q] = BASIC;
+      push_eta(rlv, w);
+      if (std::fabs(t) <= 1e-12) {
+        if (++stall > 400) bland = true;
+      } else { stall = 0; bland = false; }
+      if (need_refresh()) {
+        if (factorize(false) != 0) { res = NUMFAIL; break; }
+        compute_xb();
+      }
+    }
+    // remove artificial bounds; primal cleanup if any are active
+    if (artificial && (res == OPTIMAL)) {
+      bool active = false;
+      for (int j = 0; j < N; ++j) {
+        if (lo[j] != lo_orig[j]) {
+          if (vstat[j] == LL) { active = true; vstat[j] = FZ; x[j] = x[j]; }
+          lo[j] = lo_orig[j];
+        }
+        if (hi[j] != hi_orig[j]) {
+          if (vstat[j] == UL) { active = true; vstat[j] = FZ; }
+          hi[j] = hi_orig[j];
+        }
+      }
+      if (active) {
+        // FZ vars hold their current value is not representable; push them
+        // basic-ward via primal phase 1+2 from here
+        compute_xb();
+        res = primal(true);
+      }
+    }
+    return res;
+  }
+
+  double objective() const {
+    double s = 0.0;
+    for (int j = 0; j < n; ++j) s += cost[j] * x[j];
+    return s;
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+int tpulp_solve(int m, int n, long long nnz,
+                const int* indptr, const int* indices, const double* values,
+                const double* c, const double* lb, const double* ub,
+                const double* bl, const double* bu,
+                int method,
+                int* col_basis, int* row_basis, int have_basis_in,
+                double* x_out, long long* info, double* dinfo) {
+  Solver S;
+  S.m = m;
+  S.n = n;
+  S.N = n + m;
+  S.Ap.assign(indptr, indptr + n + 1);
+  S.Ai.assign(indices, indices + nnz);
+  S.Ax.assign(values, values + nnz);
+  S.cost.assign(S.N, 0.0);
+  for (int j = 0; j < n; ++j) S.cost[j] = c[j];
+  S.lo.resize(S.N);
+  S.hi.resize(S.N);
+  for (int j = 0; j < n; ++j) { S.lo[j] = lb[j]; S.hi[j] = ub[j]; }
+  for (int i = 0; i < m; ++i) { S.lo[n + i] = bl[i]; S.hi[n + i] = bu[i]; }
+  S.lo_orig = S.lo;
+  S.hi_orig = S.hi;
+  S.x.assign(S.N, 0.0);
+  S.vstat.assign(S.N, LL);
+  S.pos_in_basis.assign(S.N, -1);
+  S.basic.resize(m);
+  S.max_iter = 200000 + 40LL * m;
+
+  // initial basis
+  if (have_basis_in) {
+    std::vector<int> bas;
+    for (int j = 0; j < n; ++j) {
+      if (col_basis[j] == 1) bas.push_back(j);
+      else S.vstat[j] = col_basis[j] == 2 && std::isfinite(S.hi[j]) ? UL
+                         : (std::isfinite(S.lo[j]) ? LL
+                            : (std::isfinite(S.hi[j]) ? UL : FZ));
+    }
+    for (int i = 0; i < m; ++i) {
+      if (row_basis[i] == 1) bas.push_back(n + i);
+      else S.vstat[n + i] = row_basis[i] == 2 && std::isfinite(S.hi[n + i]) ? UL
+                             : (std::isfinite(S.lo[n + i]) ? LL
+                                : (std::isfinite(S.hi[n + i]) ? UL : FZ));
+    }
+    // repair count: too many -> drop extras (prefer keeping logicals for
+    // coverage); too few -> add logicals of uncovered rows
+    while ((int)bas.size() > m) {
+      int j = bas.back();
+      bas.pop_back();
+      S.vstat[j] = S.nearest_bound_status(j);
+      ++S.nrepair;
+    }
+    if ((int)bas.size() < m) {
+      std::vector<char> used(m, 0);
+      for (int j : bas) if (j >= n) used[j - n] = 1;
+      for (int i = 0; i < m && (int)bas.size() < m; ++i) {
+        if (!used[i]) {
+          bas.push_back(n + i);
+          ++S.nrepair;
+        }
+      }
+    }
+    for (int k = 0; k < m; ++k) {
+      S.basic[k] = bas[k];
+      S.pos_in_basis[bas[k]] = k;
+      S.vstat[bas[k]] = BASIC;
+    }
+  } else {
+    for (int i = 0; i < m; ++i) {
+      S.basic[i] = n + i;
+      S.pos_in_basis[n + i] = i;
+      S.vstat[n + i] = BASIC;
+    }
+    for (int j = 0; j < n; ++j) S.vstat[j] = S.nearest_bound_status(j);
+  }
+
+  int rc = S.factorize(true);
+  if (rc != 0) return NUMFAIL;
+  S.compute_xb();
+
+  int res;
+  if (method == 4) {
+    res = S.primal(true);
+  } else {
+    res = S.dual();
+    if (res == NUMFAIL) {
+      // robust fallback
+      res = S.primal(true);
+    }
+  }
+
+  // outputs
+  for (int j = 0; j < n; ++j) {
+    x_out[j] = S.x[j];
+    int st = S.vstat[j];
+    col_basis[j] = st == BASIC ? 1 : (st == UL ? 2 : 0);
+  }
+  for (int i = 0; i < m; ++i) {
+    int st = S.vstat[n + i];
+    row_basis[i] = st == BASIC ? 1 : (st == UL ? 2 : 0);
+  }
+  info[0] = S.niter;
+  info[1] = S.nrepair;
+  dinfo[0] = S.objective();
+  dinfo[1] = S.fact_time;
+  return res;
+}
+
+}  // extern "C"

@@ -1,0 +1,127 @@
+"""Native C++ simplex runtime tests: oracle parity vs vendored HiGHS,
+warm start, rank-deficiency repair, log contract (reference custom-fork
+capabilities, SURVEY.md §2.2)."""
+import subprocess
+
+import numpy as np
+import pytest
+
+from lp_gnn_tpu.data.generator import generate_instance, GENERATORS
+from lp_gnn_tpu.solver import native
+from lp_gnn_tpu.solver.crash import bixby_crash_basis
+from lp_gnn_tpu.solver.highs_bridge import solve_lp, HAVE_HIGHS
+
+
+@pytest.fixture(scope="module", autouse=True)
+def build_native():
+    import os.path as osp
+    d = osp.join(osp.dirname(native.__file__), "native")
+    subprocess.run(["make", "-C", d], check=True, capture_output=True)
+    assert native.available()
+
+
+@pytest.mark.skipif(not HAVE_HIGHS, reason="no oracle")
+@pytest.mark.parametrize("family", sorted(GENERATORS))
+@pytest.mark.parametrize("method", [1, 4])
+def test_native_matches_highs_objective(family, method):
+    lp = generate_instance(family, seed=1, instance=0)
+    h = solve_lp(lp, method=1)
+    r = native.solve_lp_native(lp, method=method)
+    assert r.status == "Optimal"
+    assert np.isclose(r.objective, h.objective, rtol=1e-6, atol=1e-6)
+    # basis validity
+    nb = (r.col_status == 1).sum() + (r.row_status == 1).sum()
+    assert nb == lp.shape[0]
+
+
+def test_native_warm_start_zero_iters():
+    lp = generate_instance("mirp_like", seed=0, instance=0)
+    cold = native.solve_lp_native(lp, method=1)
+    warm = native.solve_lp_native(
+        lp, method=1, basis_in=(cold.col_status, cold.row_status))
+    assert warm.status == "Optimal"
+    assert warm.niter == 0
+    assert np.isclose(warm.objective, cold.objective, rtol=1e-8)
+
+
+def test_native_repair_counted():
+    lp = generate_instance("transport", seed=0, instance=0)
+    cold = native.solve_lp_native(lp, method=1)
+    colb = cold.col_status.copy()
+    colb[np.nonzero(colb == 1)[0][:4]] = 0   # invalidate 4 basics
+    rep = native.solve_lp_native(lp, method=1,
+                                 basis_in=(colb, cold.row_status))
+    assert rep.status == "Optimal"
+    assert rep.n_repair >= 4
+    assert np.isclose(rep.objective, cold.objective, rtol=1e-7)
+    assert f"Rank_deficiency {rep.n_repair}" in rep.log
+
+
+def test_native_crash_basis():
+    lp = generate_instance("mirp_like", seed=0, instance=1)
+    cold = native.solve_lp_native(lp, method=1)
+    cb = bixby_crash_basis(lp)
+    ca = native.solve_lp_native(lp, method=1, basis_in=cb)
+    assert ca.status == "Optimal"
+    assert np.isclose(ca.objective, cold.objective, rtol=1e-7)
+
+
+def test_native_log_contract(tmp_path):
+    """Logs must satisfy the reference parsers (utils.py:571-660)."""
+    from lp_gnn_tpu.reporting.extract import (extract_time, extract_fact_time)
+    from lp_gnn_tpu.io.mps import write_mps
+    lp = generate_instance("netflow", seed=0, instance=0)
+    mps = str(tmp_path / "a.mps")
+    write_mps(lp, mps)
+    log = str(tmp_path / "a.log")
+    bas = str(tmp_path / "a.bas")
+    res = native.solve_mps(mps, method=1, basis_out_path=bas, log_path=log)
+    assert res.status == "Optimal"
+    iters, tm = extract_time(log)
+    assert iters == res.niter
+    assert tm is not None and tm >= 0
+    assert extract_fact_time(log) >= 0
+    # warm start through files
+    res2 = native.solve_mps(mps, method=1, basis_in_path=bas)
+    assert res2.niter == 0
+
+
+def test_native_infeasible_and_unbounded():
+    from lp_gnn_tpu.io.mps import LPData
+    from scipy.sparse import csr_matrix
+    # infeasible: x >= 2, x <= 1
+    lp = LPData(c=np.array([1.0]), b_l=np.array([2.0]),
+                A=csr_matrix(np.array([[1.0]])), b_u=np.array([np.inf]),
+                lb=np.array([0.0]), ub=np.array([1.0]),
+                con_nms=np.array(["r0"], dtype=object),
+                var_nms=np.array(["x0"], dtype=object))
+    r = native.solve_lp_native(lp, method=4)
+    assert r.status == "Infeasible"
+    # unbounded: min -x, x >= 0, no upper
+    lp2 = LPData(c=np.array([-1.0]), b_l=np.array([0.0]),
+                 A=csr_matrix(np.array([[1.0]])), b_u=np.array([np.inf]),
+                 lb=np.array([0.0]), ub=np.array([np.inf]),
+                 con_nms=np.array(["r0"], dtype=object),
+                 var_nms=np.array(["x0"], dtype=object))
+    r2 = native.solve_lp_native(lp2, method=4)
+    assert r2.status == "Unbounded"
+
+
+@pytest.mark.skipif(not HAVE_HIGHS, reason="no oracle")
+def test_native_engine_pipeline(tmp_path):
+    """stage_run_solver with engine=native produces parity labels."""
+    from lp_gnn_tpu.config import Config
+    from lp_gnn_tpu import pipeline
+    cfg = Config(dataset="nf", data_prefix=str(tmp_path / "lp-dataset"),
+                 log_prefix=str(tmp_path / "runs"), engine="native",
+                 ).finalize(make_log_dir=False)
+    pipeline.stage_generate(cfg, "netflow", 3, n_nodes=15, density=0.25)
+    pipeline.stage_run_solver(cfg)
+    pipeline.stage_cvt_to_pkl(cfg)
+    pipeline.stage_process(cfg)
+    from lp_gnn_tpu.data.dataset import LPDataset
+    ds = LPDataset(cfg.dataset_processed_prefix)
+    assert len(ds) == 3
+    g = ds[0]
+    assert (np.asarray(g.y_t) == 1).sum() + (np.asarray(g.y_s) == 1).sum() \
+        == g.ncons
