@@ -39,7 +39,9 @@ from .dataset import BipartiteGraph
                       "cons_mask", "vars_mask", "ncons", "nvars", "nnz",
                       "s_bs", "t_bs",
                       "blkr_src", "blkr_dst", "blkr_val", "blkr_out",
-                      "blkc_src", "blkc_dst", "blkc_val", "blkc_out"],
+                      "blkr_ptr",
+                      "blkc_src", "blkc_dst", "blkc_val", "blkc_out",
+                      "blkc_ptr"],
          meta_fields=[])
 @dataclasses.dataclass
 class PaddedGraph:
@@ -72,10 +74,12 @@ class PaddedGraph:
     blkr_dst: np.ndarray | None = None   # (B', K) int32 local dst in [0,R)
     blkr_val: np.ndarray | None = None   # (B', K) float32
     blkr_out: np.ndarray | None = None   # (B',) int32 dst block id
+    blkr_ptr: np.ndarray | None = None   # (M_pad/R + 1,) int32 chunk ranges
     blkc_src: np.ndarray | None = None   # (C', K) int32 source (cons) ids
     blkc_dst: np.ndarray | None = None   # (C', K) int32
     blkc_val: np.ndarray | None = None   # (C', K) float32
     blkc_out: np.ndarray | None = None   # (C',) int32
+    blkc_ptr: np.ndarray | None = None   # (N_pad/R + 1,) int32
 
     @property
     def m_pad(self) -> int:
@@ -215,7 +219,14 @@ def pad_graph(g: BipartiteGraph, m_pad: int | None = None, n_pad: int | None = N
         s_bs=np.int32(m if s_bs is None else s_bs),
         t_bs=np.int32(n if t_bs is None else t_bs),
         blkr_src=blk_r[0], blkr_dst=blk_r[1], blkr_val=blk_r[2],
-        blkr_out=blk_r[3],
+        blkr_out=blk_r[3], blkr_ptr=_chunk_ptr(blk_r[3], blk_r[4]),
         blkc_src=blk_c[0], blkc_dst=blk_c[1], blkc_val=blk_c[2],
-        blkc_out=blk_c[3],
+        blkc_out=blk_c[3], blkc_ptr=_chunk_ptr(blk_c[3], blk_c[4]),
     )
+
+
+def _chunk_ptr(blk_out: np.ndarray, num_blocks: int) -> np.ndarray:
+    cnt = np.bincount(np.asarray(blk_out), minlength=num_blocks)
+    ptr = np.zeros(num_blocks + 1, np.int32)
+    np.cumsum(cnt, out=ptr[1:])
+    return ptr

@@ -44,11 +44,17 @@ def _split(rng, n):
 
 # ------------------------------------------------------------------- GCN_FC
 def make_gcn_fc(p: int = 8, q: int = 8, hids: int = 128, depth: int = 3,
-                dp: float = 0.1) -> Model:
+                dp: float = 0.1, dtype: str = "float32") -> Model:
     """Flagship model (reference arch.py:167-193): 1 in-conv, depth-2 hidden
     convs, per-side Linear(hids,3) heads; conv1->relu; hidden: conv ->
-    dropout -> relu; heads -> knowledge mask."""
+    dropout -> relu; heads -> knowledge mask.
+
+    ``dtype='bfloat16'`` runs the conv/linear stack in bf16 on the MXU
+    (params stay fp32; SpMM accumulation and the knowledge mask stay fp32 —
+    the reference's fp16 NaN workaround, val.py:111, motivates keeping the
+    masking arithmetic in full precision)."""
     n_hidden = max(depth - 2, 0)
+    cdtype = jnp.dtype(dtype)
 
     def init(key):
         ks = jax.random.split(key, 3 + n_hidden)
@@ -60,8 +66,8 @@ def make_gcn_fc(p: int = 8, q: int = 8, hids: int = 128, depth: int = 3,
         return params
 
     def apply(params, pg, train=False, rng=None):
-        x_left = pg.c_feas
-        x_right = pg.v_feas
+        x_left = pg.c_feas.astype(cdtype)
+        x_right = pg.v_feas.astype(cdtype)
         left, right = bidir_conv_apply(params["conv1"], pg, x_left, x_right)
         left, right = jax.nn.relu(left), jax.nn.relu(right)
         keys = _split(rng, 2 * max(n_hidden, 1))

@@ -63,6 +63,14 @@ def _segment_spmm_bwd(num_dst, res, g):
 segment_spmm.defvjp(_segment_spmm_fwd, _segment_spmm_bwd)
 
 
+import os as _os
+
+
+def _use_pallas() -> bool:
+    """Opt-in Pallas fused-contraction path (LP_GNN_SPMM=pallas)."""
+    return _os.environ.get("LP_GNN_SPMM", "") == "pallas"
+
+
 @partial(jax.custom_vjp, nondiff_argnums=(6,))
 def blocked_spmm(blk_src, blk_dst, blk_val, blk_out, x, transpose_blocks,
                  num_blocks):
@@ -99,6 +107,34 @@ def blocked_spmm(blk_src, blk_dst, blk_val, blk_out, x, transpose_blocks,
     return out.reshape(-1, x.shape[-1]).astype(x.dtype)
 
 
+@partial(jax.custom_vjp, nondiff_argnums=(7,))
+def blocked_spmm_p(blk_src, blk_dst, blk_val, blk_ptr, x, transpose_blocks,
+                   blk_out, num_blocks):
+    """Pallas variant of blocked_spmm: fused one-hot contraction + chunk
+    accumulation in VMEM (ops/pallas_spmm.py). Same math and layout;
+    ``blk_ptr`` gives each destination block's chunk range."""
+    from .pallas_spmm import pallas_blocked_spmm
+    return pallas_blocked_spmm(blk_src, blk_dst, blk_val, blk_ptr, x,
+                               num_blocks)
+
+
+def _blocked_spmm_p_fwd(blk_src, blk_dst, blk_val, blk_ptr, x, tr, blk_out,
+                        num_blocks):
+    out = blocked_spmm_p(blk_src, blk_dst, blk_val, blk_ptr, x, tr, blk_out,
+                         num_blocks)
+    return out, (tr, x.shape[0])
+
+
+def _blocked_spmm_p_bwd(num_blocks, res, g):
+    (t_src, t_dst, t_val, t_ptr, t_out), num_src = res
+    dx = blocked_spmm_p(t_src, t_dst, t_val, t_ptr, g, None, t_out,
+                        num_src // 128)[:num_src]
+    return None, None, None, None, dx, None, None
+
+
+blocked_spmm_p.defvjp(_blocked_spmm_p_fwd, _blocked_spmm_p_bwd)
+
+
 def _blocked_spmm_fwd(blk_src, blk_dst, blk_val, blk_out, x, tr, num_blocks):
     out = blocked_spmm(blk_src, blk_dst, blk_val, blk_out, x, tr, num_blocks)
     return out, (tr, x.shape[0])
@@ -114,17 +150,38 @@ def _blocked_spmm_bwd(num_blocks, res, g):
 blocked_spmm.defvjp(_blocked_spmm_fwd, _blocked_spmm_bwd)
 
 
+def _blocked_call(pg, x, side):
+    """Dispatch one SpMM direction through the einsum or Pallas blocked path.
+
+    side='c2v': dst = vars (blkc layout); side='v2c': dst = cons (blkr)."""
+    if side == "c2v":
+        own = (pg.blkc_src, pg.blkc_dst, pg.blkc_val, pg.blkc_out, pg.blkc_ptr)
+        tr4 = (pg.blkr_src, pg.blkr_dst, pg.blkr_val, pg.blkr_out)
+        tr5 = tr4[:3] + (pg.blkr_ptr, pg.blkr_out)
+        n_out = pg.v_feas.shape[0]
+    else:
+        own = (pg.blkr_src, pg.blkr_dst, pg.blkr_val, pg.blkr_out, pg.blkr_ptr)
+        tr4 = (pg.blkc_src, pg.blkc_dst, pg.blkc_val, pg.blkc_out)
+        tr5 = tr4[:3] + (pg.blkc_ptr, pg.blkc_out)
+        n_out = pg.c_feas.shape[0]
+    if _use_pallas() and own[4] is not None:
+        out = blocked_spmm_p(own[0], own[1], own[2], own[4], x, tr5, own[3],
+                             n_out // 128)
+    else:
+        out = blocked_spmm(own[0], own[1], own[2], own[3], x, tr4,
+                           n_out // 128)
+    return out[:n_out]
+
+
 def spmm_cons_to_vars(pg, x_cons):
     """out[j] = sum_i A_ij * x_cons[i]  — (N_pad, D).
 
-    Uses the blocked MXU path when the graph carries a block layout, else
-    the sorted segment-sum path."""
+    Uses the blocked MXU path when the graph carries a block layout
+    (Pallas fused variant when LP_GNN_SPMM=pallas), else the sorted
+    segment-sum path."""
     if getattr(pg, "blkc_src", None) is not None and \
             getattr(pg, "blkr_src", None) is not None:
-        tr = (pg.blkr_src, pg.blkr_dst, pg.blkr_val, pg.blkr_out)
-        out = blocked_spmm(pg.blkc_src, pg.blkc_dst, pg.blkc_val, pg.blkc_out,
-                           x_cons, tr, pg.v_feas.shape[0] // 128)
-        return out[: pg.v_feas.shape[0]]
+        return _blocked_call(pg, x_cons, "c2v")
     tr = (pg.row_r, pg.col_r, pg.val_r)
     return segment_spmm(pg.col_c, pg.row_c, pg.val_c, x_cons, tr,
                         pg.v_feas.shape[0])
@@ -134,10 +191,7 @@ def spmm_vars_to_cons(pg, x_vars):
     """out[i] = sum_j A_ij * x_vars[j]  — (M_pad, D)."""
     if getattr(pg, "blkr_src", None) is not None and \
             getattr(pg, "blkc_src", None) is not None:
-        tr = (pg.blkc_src, pg.blkc_dst, pg.blkc_val, pg.blkc_out)
-        out = blocked_spmm(pg.blkr_src, pg.blkr_dst, pg.blkr_val, pg.blkr_out,
-                           x_vars, tr, pg.c_feas.shape[0] // 128)
-        return out[: pg.c_feas.shape[0]]
+        return _blocked_call(pg, x_vars, "v2c")
     tr = (pg.col_c, pg.row_c, pg.val_c)
     return segment_spmm(pg.row_r, pg.col_r, pg.val_r, x_vars, tr,
                         pg.c_feas.shape[0])

@@ -208,3 +208,23 @@ def test_accuracy_metric(rng):
     logits2[np.arange(m + n), gt2] = 5.0
     acc2 = accuracy(logits2, gt2, m)
     assert acc2 == 1.0
+
+
+def test_bf16_compute_close_to_fp32(rng):
+    """bf16 stack must stay close to fp32 (mask applied in fp32 keeps logits
+    bounded, arch.py:133-135 rationale)."""
+    pg = make_pg(rng, m=12, n=20, e=60)
+    m32 = build_model("GCN_FC(8,8,hids=32,depth=3)")
+    m16 = build_model("GCN_FC(8,8,hids=32,depth=3,dtype='bfloat16')")
+    params = m32.init(jax.random.PRNGKey(0))
+    lc32, lv32 = m32.apply(params, pg)
+    lc16, lv16 = m16.apply(params, pg)
+    assert np.asarray(lc16).dtype == np.float32  # mask output is fp32
+    np.testing.assert_allclose(np.asarray(lc16), np.asarray(lc32), atol=0.4)
+    # decode agreement on a clear-margin case is not guaranteed under bf16,
+    # but unmasked rows must keep the L2=10 normalized scale
+    vf = np.asarray(pg.v_feas)
+    unmasked = (np.abs(vf[:, -3]) == 0) & (np.abs(vf[:, -1]) == 0) & \
+        np.asarray(pg.vars_mask)
+    norms = np.linalg.norm(np.asarray(lv16)[unmasked], axis=1)
+    np.testing.assert_allclose(norms, 10.0, rtol=0.05)
