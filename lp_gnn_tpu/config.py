@@ -91,6 +91,23 @@ class Config:
         m = re.findall(r"depth=(\d+)", self.arch)
         return int(m[0]) if m else 3
 
+    def arch_with_dtype(self) -> str:
+        """Arch string honoring --fp16 (reference --fp16 model.half(),
+        val.py:269; on TPU this selects bf16 compute with the knowledge mask
+        kept fp32)."""
+        if self.fp16 and "dtype" not in self.arch:
+            return self.arch.rstrip(")") + ",dtype='bfloat16')"
+        return self.arch
+
+    def double_check(self, key: str = "all") -> None:
+        """Config consistency guard (reference utils.py:789-794)."""
+        assert self.normalized_lp_method() in (1, 4)
+        if key == "lp_method":
+            return
+        if clean_str(self.arch) not in clean_str(self.exp_nm):
+            logging.warning("exp_nm %r does not encode arch %r",
+                            self.exp_nm, self.arch)
+
     def finalize(self, make_log_dir: bool = True) -> "Config":
         self.lp_method = self.normalized_lp_method()
         if not self.solver_prefix.endswith("-"):
@@ -122,6 +139,25 @@ class Config:
 
     def to_dict(self) -> dict[str, Any]:
         return dataclasses.asdict(self)
+
+
+def clean_str(s: str) -> str:
+    """Encode an arch/config string into an exp-name-safe token
+    (reference utils.py:857-860)."""
+    for ch in "()=,.":
+        s = s.replace(ch, "-")
+    return s
+
+
+def parse_str(exp_nm: str, key: str) -> str:
+    """Recover a config token from an exp name (reference utils.py:862-879).
+    Currently supports key='solver_prefix' (the only use, extract_time.py:52)."""
+    if key == "solver_prefix":
+        for sv in ("highs-",):
+            if exp_nm.startswith(sv) or f"-{sv}" in exp_nm:
+                return sv
+        return ""
+    raise KeyError(key)
 
 
 def parse_args(argv=None, make_log_dir: bool = True, **defaults) -> Config:

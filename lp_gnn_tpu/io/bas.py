@@ -116,6 +116,29 @@ def read_bas(fn: str, con_nms=None, var_nms=None):
     return con_lbls, var_lbls
 
 
+def read_sol(fn: str):
+    """Read a CPLEX XML .sol file -> (con_lbls, var_lbls, con_nms, var_nms)
+    (reference cvt_to_pkl.py:136-164). Kept for label-source compatibility
+    with CPLEX pipelines."""
+    import xml.etree.ElementTree as ET
+    status = {"LL": LL, "BS": BS, "UL": UL}
+
+    def read_leaves(nodes):
+        k = len(nodes)
+        lbls = np.empty(k, dtype=np.int64)
+        nms = np.empty(k, dtype=object)
+        for node in nodes:
+            idx = int(node.attrib["index"])
+            lbls[idx] = status[node.attrib["status"]]
+            nms[idx] = node.attrib["name"]
+        return lbls, nms
+
+    tree = ET.parse(fn)
+    con_lbls, con_nms = read_leaves(list(tree.getroot()[2]))
+    var_lbls, var_nms = read_leaves(list(tree.getroot()[3]))
+    return con_lbls, var_lbls, con_nms, var_nms
+
+
 def check_lb(lbls: np.ndarray, l: np.ndarray, nms=None) -> None:
     """Fix labels nonbasic-at-lower with lower bound -inf -> UL
     (reference cvt_to_pkl.py:208-212). Mutates ``lbls`` in place."""

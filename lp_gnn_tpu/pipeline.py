@@ -98,43 +98,57 @@ def stage_cvt_to_pkl(cfg: Config) -> None:
     """MPS + optimal .bas -> raw/*.pk graph blobs
     (reference scripts/cvt_to_pkl.py:220-277)."""
     sfx = cfg.get_method_sfx()
-    path = cfg.dataset_prefix
     raw_dir = f"{cfg.dataset_processed_prefix}/raw"
     mkdir_p(raw_dir)
-    for mps in _mps_files(cfg):
-        nm = extract_fn(mps)
-        dst = f"{raw_dir}/{nm}.pk"
-        if cfg.skip_exist and osp.exists(dst):
-            continue
-        bas_fn = f"{path}/{cfg.solver_prefix}basis{sfx}/{nm}.bas"
-        if not osp.exists(bas_fn):
-            logging.error("no basis for %s — skipped", nm)
-            continue
-        lp = read_mps(mps)
-        b_u = lp.b_u.copy()
-        b_l = lp.b_l.copy()
-        u = lp.ub.copy()
-        l = lp.lb.copy()
-        b_u[b_u > 1e308] = np.inf
-        b_l[b_l < -1e308] = -np.inf
-        u[u > 1e308] = np.inf
-        l[l < -1e308] = -np.inf
-        con_lbls, var_lbls = read_bas(bas_fn, lp.con_nms, lp.var_nms)
-        con_lbls = np.asarray(con_lbls, dtype=np.int64)
-        var_lbls = np.asarray(var_lbls, dtype=np.int64)
-        check_lb(var_lbls, l, lp.var_nms)
-        check_ub(var_lbls, u, lp.var_nms)
-        # constraint labels must be consistent with infinite row bounds
-        # (cvt_to_pkl.py:257-258)
-        assert (con_lbls[b_l == -np.inf] != 0).all()
-        assert (con_lbls[b_u == np.inf] != 2).all()
-        A = lp.A.tocoo()
-        msgpack_dump(
-            [lp.c, b_l, (A.row, A.col, A.data), b_u, l, u,
-             con_lbls, var_lbls,
-             np.asarray([str(s) for s in lp.con_nms], dtype=object).tolist(),
-             np.asarray([str(s) for s in lp.var_nms], dtype=object).tolist()],
-            dst)
+    fns = _mps_files(cfg)
+    if cfg.num_workers and cfg.num_workers > 1:
+        # per-LP process fan-out (reference cvt_to_pkl.py:292-298)
+        from multiprocessing import Pool
+        from functools import partial
+        with Pool(cfg.num_workers) as pool:
+            pool.map(partial(_cvt_one, cfg=cfg), fns)
+        return
+    for mps in fns:
+        _cvt_one(mps, cfg)
+
+
+def _cvt_one(mps: str, cfg: Config) -> None:
+    sfx = cfg.get_method_sfx()
+    path = cfg.dataset_prefix
+    raw_dir = f"{cfg.dataset_processed_prefix}/raw"
+    nm = extract_fn(mps)
+    dst = f"{raw_dir}/{nm}.pk"
+    if cfg.skip_exist and osp.exists(dst):
+        return
+    bas_fn = f"{path}/{cfg.solver_prefix}basis{sfx}/{nm}.bas"
+    if not osp.exists(bas_fn):
+        logging.error("no basis for %s — skipped", nm)
+        return
+    lp = read_mps(mps)
+    b_u = lp.b_u.copy()
+    b_l = lp.b_l.copy()
+    u = lp.ub.copy()
+    l = lp.lb.copy()
+    b_u[b_u > 1e308] = np.inf
+    b_l[b_l < -1e308] = -np.inf
+    u[u > 1e308] = np.inf
+    l[l < -1e308] = -np.inf
+    con_lbls, var_lbls = read_bas(bas_fn, lp.con_nms, lp.var_nms)
+    con_lbls = np.asarray(con_lbls, dtype=np.int64)
+    var_lbls = np.asarray(var_lbls, dtype=np.int64)
+    check_lb(var_lbls, l, lp.var_nms)
+    check_ub(var_lbls, u, lp.var_nms)
+    # constraint labels must be consistent with infinite row bounds
+    # (cvt_to_pkl.py:257-258)
+    assert (con_lbls[b_l == -np.inf] != 0).all()
+    assert (con_lbls[b_u == np.inf] != 2).all()
+    A = lp.A.tocoo()
+    msgpack_dump(
+        [lp.c, b_l, (A.row, A.col, A.data), b_u, l, u,
+         con_lbls, var_lbls,
+         np.asarray([str(s) for s in lp.con_nms], dtype=object).tolist(),
+         np.asarray([str(s) for s in lp.var_nms], dtype=object).tolist()],
+        dst)
 
 
 def stage_process(cfg: Config) -> None:
@@ -165,7 +179,7 @@ def stage_pred_basis(cfg: Config, ckpt_path: str | None = None) -> str:
     (reference scripts/pred_basis.py main)."""
     inf_mng = parse_inference_manager(cfg.inference_manager)
     out_dir = osp.join(cfg.log_dir, inf_mng.get_basis_folder())
-    model = build_model(cfg.arch)
+    model = build_model(cfg.arch_with_dtype())
     ckpt = load_ckpt(ckpt_path or cfg.load_from)
     params = ckpt["params"]
     ds = LPDataset(cfg.dataset_processed_prefix, load_meta=True)
@@ -228,9 +242,14 @@ def stage_warm_start(cfg: Config) -> None:
 
 
 # ------------------------------------------------------------------ L7 stages
-def stage_val(cfg: Config, ckpt_path: str | None = None) -> float:
-    """Classification metrics vs labels into time.h5 (reference val.py main)."""
-    model = build_model(cfg.arch)
+def stage_val(cfg: Config, ckpt_path: str | None = None,
+              wrt_converged: bool = False) -> float:
+    """Classification metrics vs labels into time.h5 (reference val.py main).
+
+    With ``wrt_converged`` also scores predictions against the basis the
+    solver converged to after the warm start (reference val.py:70-104),
+    writing ``cvg/acc|prec|recl`` columns."""
+    model = build_model(cfg.arch_with_dtype())
     params = load_ckpt(ckpt_path or cfg.load_from)["params"]
     ds = LPDataset(cfg.dataset_processed_prefix)
     train_ds, val_ds = split_train_val(ds, cfg.seed)
@@ -239,6 +258,10 @@ def stage_val(cfg: Config, ckpt_path: str | None = None) -> float:
         ds.dump_size_info(dump_info)
     _, avg_acc = validation(model, params, val_ds, cfg, dump_info)
     logging.info("avg val acc %.4f", avg_acc)
+    if wrt_converged:
+        _, cvg_acc = validation(model, params, val_ds, cfg, dump_info,
+                                wrt_converged=True)
+        logging.info("avg val acc wrt converged %.4f", cvg_acc)
     return avg_acc
 
 
@@ -261,6 +284,6 @@ def run_train_test(cfg: Config) -> dict:
     ckpt = stage_train(cfg)
     stage_pred_basis(cfg, ckpt)
     stage_warm_start(cfg)
-    stage_val(cfg, ckpt)
+    stage_val(cfg, ckpt, wrt_converged=True)
     df, summary = stage_extract(cfg)
     return {"ckpt": ckpt, "summary": summary, "df": df}

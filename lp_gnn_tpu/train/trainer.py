@@ -154,16 +154,25 @@ def run_exp(cfg: Config, dataset: LPDataset | None = None) -> str:
     ds = dataset or LPDataset(cfg.dataset_processed_prefix)
     train_ds, _val_ds = split_train_val(ds, cfg.seed)
 
-    model = build_model(cfg.arch)
+    model = build_model(cfg.arch_with_dtype())
     key = jax.random.PRNGKey(cfg.seed)
     key, init_key = jax.random.split(key)
     params = model.init(init_key)
-    if cfg.load_from.lower() != "none":
-        params = load_ckpt(cfg.load_from)["params"]
-        logging.info("warm-resumed weights from %s", cfg.load_from)
-
     optimizer = make_optimizer(cfg.opt)
     opt_state = optimizer.init(params)
+    start_epoch = 0
+    if cfg.load_from.lower() != "none":
+        ckpt = load_ckpt(cfg.load_from)
+        params = ckpt["params"]
+        # full train-state resume (the reference restores weights only,
+        # train.py:155 comment — this closes that gap)
+        if ckpt.get("opt_state") is not None:
+            try:
+                opt_state = ckpt["opt_state"]
+                start_epoch = int(ckpt.get("epoch", 0))
+            except Exception:
+                logging.warning("opt state in ckpt incompatible; fresh optimizer")
+        logging.info("resumed from %s at epoch %d", cfg.load_from, start_epoch)
     train_step = make_train_step(model, cfg.loss, optimizer)
 
     # host-side padded-graph cache: pad once, reuse across epochs
@@ -189,7 +198,7 @@ def run_exp(cfg: Config, dataset: LPDataset | None = None) -> str:
     ckpt_path = os.path.join(log_dir, "mdl.ckpt")
     rng_np = np.random.RandomState(cfg.seed)
     n_train = len(train_ds)
-    for epoch in range(cfg.epochs):
+    for epoch in range(start_epoch, cfg.epochs):
         lr = step_lr(cfg.lr, cfg.epochs, epoch)
         loss_meter.reset(), acc_meter.reset()
         order = rng_np.permutation(n_train)
