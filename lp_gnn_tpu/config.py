@@ -70,6 +70,7 @@ class Config:
     gW: float | None = None
     # parallelism (new, TPU build)
     mesh_shape: str = ""                   # e.g. "dp=4" or "edge=8"
+    eval_every: int = 0                    # epochs between val passes (0=off)
     # derived (filled by finalize)
     dataset_prefix: str = ""
     dataset_processed_prefix: str = ""

@@ -152,7 +152,7 @@ def run_exp(cfg: Config, dataset: LPDataset | None = None) -> str:
     json_dump(cfg.to_dict(), os.path.join(log_dir, "args.json"))
 
     ds = dataset or LPDataset(cfg.dataset_processed_prefix)
-    train_ds, _val_ds = split_train_val(ds, cfg.seed)
+    train_ds, val_ds = split_train_val(ds, cfg.seed)
 
     model = build_model(cfg.arch_with_dtype())
     key = jax.random.PRNGKey(cfg.seed)
@@ -222,7 +222,27 @@ def run_exp(cfg: Config, dataset: LPDataset | None = None) -> str:
                     writer.scalar("train/lr", lr, glstep)
         save_ckpt(ckpt_path, params, opt_state, epoch,
                   extra={"arch": cfg.arch, "loss": cfg.loss})
+        if cfg.eval_every and (epoch + 1) % cfg.eval_every == 0 and len(val_ds):
+            va = _quick_val(model, params, val_ds, cfg)
+            writer.scalar("val/acc", va, glstep)
+            logging.info("epoch %d val acc %.4f", epoch, va)
     save_ckpt(ckpt_path, params, opt_state, cfg.epochs,
               extra={"arch": cfg.arch, "loss": cfg.loss})
     writer.close()
     return ckpt_path
+
+
+def _quick_val(model, params, val_ds, cfg) -> float:
+    """Mean decode accuracy over the val split (the in-training validation
+    the reference left commented out, train.py:149-152)."""
+    from ..train.metrics import accuracy
+    total = 0.0
+    for i in range(len(val_ds)):
+        g = val_ds[i]
+        pg = pad_graph(g)
+        lc, lv = jax.jit(partial(model.apply, train=False))(params, pg)
+        logits = np.concatenate([np.asarray(lc)[: g.ncons],
+                                 np.asarray(lv)[: g.nvars]])
+        gt = np.concatenate([g.y_s, g.y_t])
+        total += accuracy(logits, gt, g.ncons, dataset_name=cfg.dataset)
+    return total / max(len(val_ds), 1)
