@@ -97,6 +97,12 @@ def blocked_spmm(blk_src, blk_dst, blk_val, blk_out, x, transpose_blocks,
     Returns: (num_blocks*R, D).
     """
     R = 128
+    Bp, K = blk_src.shape
+    D = x.shape[-1]
+    budget = int(_os.environ.get("LP_GNN_SPMM_BUDGET", 2 << 30))
+    if Bp * K * D * 4 > budget:
+        return _blocked_spmm_scan(blk_src, blk_dst, blk_val, blk_out, x,
+                                  num_blocks, budget)
     msg = x[blk_src] * blk_val[..., None].astype(x.dtype)      # (B', K, D)
     onehot = (blk_dst[..., None] ==
               jax.lax.broadcasted_iota(jnp.int32, (1, 1, R), 2)).astype(x.dtype)
@@ -105,6 +111,55 @@ def blocked_spmm(blk_src, blk_dst, blk_val, blk_out, x, transpose_blocks,
     out = jax.ops.segment_sum(part, blk_out, num_segments=num_blocks,
                               indices_are_sorted=True)
     return out.reshape(-1, x.shape[-1]).astype(x.dtype)
+
+
+def _blocked_spmm_scan(blk_src, blk_dst, blk_val, blk_out, x, num_blocks,
+                       budget):
+    """HBM-streaming blocked SpMM: lax.scan over chunk slices so peak memory
+    stays within ``budget`` regardless of edge count (enables 10M+-edge
+    full-graph execution on one chip). Each scan step gathers one slice of
+    chunks, contracts on the MXU, and accumulates into the output at the
+    slice's (contiguous, sorted) destination-block range via dynamic slices
+    — no full-size partials are ever materialized."""
+    R = 128
+    x = jnp.asarray(x)
+    Bp, K = blk_src.shape
+    D = x.shape[-1]
+    slice_chunks = max(int(budget // (K * D * 4 * 4)), 8)
+    n_slices = -(-Bp // slice_chunks)
+    pad_to = n_slices * slice_chunks
+    pad = pad_to - Bp
+
+    def padc(a, fill):
+        return jnp.pad(a, ((0, pad),) + ((0, 0),) * (a.ndim - 1),
+                       constant_values=fill)
+
+    src = padc(blk_src, 0).reshape(n_slices, slice_chunks, K)
+    dst = padc(blk_dst, R - 1).reshape(n_slices, slice_chunks, K)
+    val = padc(blk_val, 0.0).reshape(n_slices, slice_chunks, K)
+    outb = padc(blk_out, num_blocks - 1).reshape(n_slices, slice_chunks)
+
+    # out padded with slice_chunks+1 spill blocks for border dynamic slices
+    out0 = jnp.zeros((num_blocks + slice_chunks + 1, R, D), jnp.float32)
+    iota_r = jax.lax.broadcasted_iota(jnp.int32, (1, 1, R), 2)
+
+    def step(out, sl):
+        s_src, s_dst, s_val, s_out = sl
+        msg = x[s_src] * s_val[..., None].astype(x.dtype)
+        onehot = (s_dst[..., None] == iota_r).astype(x.dtype)
+        part = jnp.einsum("bkr,bkd->brd", onehot, msg,
+                          preferred_element_type=jnp.float32)
+        b0 = s_out[0]
+        local = jax.ops.segment_sum(part.astype(jnp.float32), s_out - b0,
+                                    num_segments=slice_chunks + 1,
+                                    indices_are_sorted=True)
+        cur = jax.lax.dynamic_slice(out, (b0, 0, 0),
+                                    (slice_chunks + 1, R, D))
+        out = jax.lax.dynamic_update_slice(out, cur + local, (b0, 0, 0))
+        return out, None
+
+    out, _ = jax.lax.scan(step, out0, (src, dst, val, outb))
+    return out[:num_blocks].reshape(-1, D).astype(x.dtype)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(7,))

@@ -139,3 +139,29 @@ def test_pallas_spmm_matches_einsum(rng):
 
     g_e = np.asarray(jax.grad(f2)(x))
     np.testing.assert_allclose(g_p, g_e, atol=1e-4)
+
+
+def test_blocked_spmm_scan_matches(rng):
+    """HBM-streaming scan path == in-memory einsum path (forced via a tiny
+    memory budget)."""
+    import os
+    pg, Af = make_graph(rng, m=300, n=260, e=2000)
+    x = rng.randn(pg.n_pad, 16).astype(np.float32)
+    want = np.asarray(spmm_vars_to_cons(pg, x))
+    os.environ["LP_GNN_SPMM_BUDGET"] = "2048"   # force the scan path
+    try:
+        got = np.asarray(spmm_vars_to_cons(pg, x))
+        np.testing.assert_allclose(got, want, atol=1e-4)
+
+        def f(xx):
+            return (spmm_vars_to_cons(pg, xx) ** 2).sum()
+
+        g_scan = np.asarray(jax.grad(f)(x))
+    finally:
+        del os.environ["LP_GNN_SPMM_BUDGET"]
+
+    def f2(xx):
+        return (spmm_vars_to_cons(pg, xx) ** 2).sum()
+
+    g_ref = np.asarray(jax.grad(f2)(x))
+    np.testing.assert_allclose(g_scan, g_ref, atol=1e-3)
