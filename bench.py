@@ -63,7 +63,8 @@ def measure(device, pg, n_warmup=2, n_steps=5):
     from lp_gnn_tpu.models.gcn import build_model
     from lp_gnn_tpu.train.trainer import make_optimizer, make_train_step
 
-    model = build_model(f"GCN_FC(8,8,hids={HIDS},depth=3)")
+    dtype = os.environ.get("BENCH_DTYPE", "float32")
+    model = build_model(f"GCN_FC(8,8,hids={HIDS},depth=3,dtype='{dtype}')")
     with jax.default_device(device):
         params = model.init(jax.random.PRNGKey(0))
         optimizer = make_optimizer("adam")

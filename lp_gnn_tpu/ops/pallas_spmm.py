@@ -41,8 +41,11 @@ def _kernel(ptr_ref, msg_hbm, dst_hbm, out_ref,
             msg_hbm.at[pl.ds(c * K, K), :], msg_buf.at[slot], sem_msg.at[slot])
 
     def dma_dst(slot, c):
+        # int32 HBM->VMEM copies need 8-sublane alignment: fetch the whole
+        # 8-row group containing chunk c; the kernel selects the row in VMEM
         return pltpu.make_async_copy(
-            dst_hbm.at[pl.ds(c * K, K), :], dst_buf.at[slot], sem_dst.at[slot])
+            dst_hbm.at[pl.ds((c // 8) * 8, 8), :], dst_buf.at[slot],
+            sem_dst.at[slot])
 
     @pl.when(start < end)
     def _():
@@ -61,12 +64,14 @@ def _kernel(ptr_ref, msg_hbm, dst_hbm, out_ref,
 
         dma_msg(slot, c).wait()
         dma_dst(slot, c).wait()
-        onehot = (dst_buf[slot] ==
-                  jax.lax.broadcasted_iota(jnp.int32, (K, R), 1)
+        ids = dst_buf[slot, pl.ds(c % 8, 1), :]          # (1, K) VMEM load
+        # one-hot laid out (R, K): R on sublanes, K on lanes (128-aligned)
+        onehot = (ids ==
+                  jax.lax.broadcasted_iota(jnp.int32, (R, K), 0)
                   ).astype(jnp.float32)
         msg = msg_buf[slot].astype(jnp.float32)
         acc[:] += jax.lax.dot_general(
-            onehot, msg, dimension_numbers=(((0,), (0,)), ((), ())),
+            onehot, msg, dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         return 0
 
@@ -101,7 +106,7 @@ def chunk_contract(msg, blk_dst, chunk_ptr, num_blocks, interpret=False):
         scratch_shapes=[
             pltpu.VMEM((R, D), jnp.float32),
             pltpu.VMEM((2, K, D), msg.dtype),
-            pltpu.VMEM((2, K, 1), jnp.int32),
+            pltpu.VMEM((2, 8, K), jnp.int32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
@@ -112,7 +117,7 @@ def chunk_contract(msg, blk_dst, chunk_ptr, num_blocks, interpret=False):
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((num_blocks * R, D), msg.dtype),
         interpret=interpret,
-    )(chunk_ptr, msg, blk_dst.reshape(Bp * K, 1))
+    )(chunk_ptr, msg, blk_dst)
     return out
 
 
@@ -126,8 +131,21 @@ def chunk_ptr_from_out(blk_out: np.ndarray, num_blocks: int) -> np.ndarray:
 
 def pallas_blocked_spmm(blk_src, blk_dst, blk_val, chunk_ptr, x, num_blocks,
                         interpret=False):
-    """Full SpMM: XLA gather + Pallas fused contraction."""
+    """Full SpMM: XLA gather + Pallas fused contraction.
+
+    Feature dims are padded to the 128-lane tile (the 8-dim input-feature
+    layer pays a padded first SpMM; hidden layers are already aligned)."""
     Bp, K = blk_src.shape
+    D = x.shape[-1]
     msg = x[blk_src.reshape(-1)] * blk_val.reshape(-1)[:, None].astype(x.dtype)
-    return chunk_contract(msg, blk_dst, chunk_ptr, num_blocks,
-                          interpret=interpret)
+    d_pad = -D % 128
+    if d_pad:
+        msg = jnp.pad(msg, ((0, 0), (0, d_pad)))
+    # pad the chunk axis to a multiple of 8 so the 8-row dst-id DMA groups
+    # never run off the end
+    b_pad = -Bp % 8
+    if b_pad:
+        blk_dst = jnp.pad(blk_dst, ((0, b_pad), (0, 0)), constant_values=0)
+    out = chunk_contract(msg, blk_dst, chunk_ptr, num_blocks,
+                         interpret=interpret)
+    return out[:, :D] if d_pad else out
