@@ -3,15 +3,16 @@
 The blocked SpMM (ops/spmm.py) splits into (1) an XLA gather building
 per-edge messages and (2) a contraction of each chunk's K messages against a
 (K, R) one-hot matrix plus cross-chunk accumulation. XLA materializes the
-per-chunk partials (B', R, D) in HBM between the einsum and the chunk
-segment-sum; this kernel fuses both stages: each output row-block's chunks
-are streamed through VMEM with double-buffered DMA and accumulated on the
-MXU in fp32 without ever writing partials back to HBM.
+one-hot tensor and the per-chunk partials (B', R, D) in HBM between the
+einsum and the chunk segment-sum; this kernel eliminates both: the one-hot
+is built in registers and chunk partials accumulate in VMEM.
 
-Layout contract (data/batching.py block_layout): chunks of the same
-destination block are contiguous, so ``chunk_ptr`` (B+1,) gives each block's
-chunk range — the kernel's grid is over destination blocks, the inner loop
-over that block's chunks.
+Structure: the grid iterates over chunks (Mosaic auto-pipelines the msg/id
+block DMAs); the output BlockSpec maps each chunk to its destination block
+via the scalar-prefetched chunk->block table, so consecutive chunks of one
+block revisit the same VMEM output tile — the classic K-loop accumulation
+pattern. The chunk order from data/batching.py is sorted by destination
+block, which makes the revisit sequence contiguous.
 """
 from __future__ import annotations
 
@@ -27,97 +28,56 @@ from jax.experimental.pallas import tpu as pltpu
 R = 128  # rows per destination block (MXU tile)
 
 
-def _kernel(ptr_ref, msg_hbm, dst_hbm, out_ref,
-            acc, msg_buf, dst_buf, sem_msg, sem_dst, *, K, D):
-    b = pl.program_id(0)
-    start = ptr_ref[b]
-    end = ptr_ref[b + 1]
-    acc[:] = jnp.zeros(acc.shape, acc.dtype)
+def _kernel(blk_of, msg_ref, dst_ref, out_ref, *, K, D):
+    c = pl.program_id(0)
+    nc = pl.num_programs(0)
+    prev = blk_of[jnp.maximum(c - 1, 0)]
+    is_first = jnp.logical_or(c == 0, blk_of[c] != prev)
 
-    nbuf = 2
-
-    def dma_msg(slot, c):
-        return pltpu.make_async_copy(
-            msg_hbm.at[pl.ds(c * K, K), :], msg_buf.at[slot], sem_msg.at[slot])
-
-    def dma_dst(slot, c):
-        # int32 HBM->VMEM copies need 8-sublane alignment: fetch the whole
-        # 8-row group containing chunk c; the kernel selects the row in VMEM
-        return pltpu.make_async_copy(
-            dst_hbm.at[pl.ds((c // 8) * 8, 8), :], dst_buf.at[slot],
-            sem_dst.at[slot])
-
-    @pl.when(start < end)
+    @pl.when(is_first)
     def _():
-        dma_msg(0, start).start()
-        dma_dst(0, start).start()
+        out_ref[:] = jnp.zeros_like(out_ref)
 
-    def body(c, _):
-        i = c - start
-        slot = i % nbuf
-        nxt = (i + 1) % nbuf
-
-        @pl.when(c + 1 < end)
-        def _():
-            dma_msg(nxt, c + 1).start()
-            dma_dst(nxt, c + 1).start()
-
-        dma_msg(slot, c).wait()
-        dma_dst(slot, c).wait()
-        ids = dst_buf[slot, pl.ds(c % 8, 1), :]          # (1, K) VMEM load
-        # one-hot laid out (R, K): R on sublanes, K on lanes (128-aligned)
-        onehot = (ids ==
-                  jax.lax.broadcasted_iota(jnp.int32, (R, K), 0)
-                  ).astype(jnp.float32)
-        msg = msg_buf[slot].astype(jnp.float32)
-        acc[:] += jax.lax.dot_general(
-            onehot, msg, dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        return 0
-
-    jax.lax.fori_loop(start, end, body, 0)
-    out_ref[:] = acc[:].astype(out_ref.dtype)
+    ids = dst_ref[0]                                        # (1, K) int32
+    onehot = (ids == jax.lax.broadcasted_iota(jnp.int32, (R, K), 0)
+              ).astype(msg_ref.dtype)
+    out_ref[:] += jax.lax.dot_general(
+        onehot, msg_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    del nc
 
 
-def chunk_contract(msg, blk_dst, chunk_ptr, num_blocks, interpret=False):
+def chunk_contract(msg, blk_dst, blk_of_chunk, num_blocks, interpret=False):
     """Fused one-hot contraction + chunk accumulation.
 
     Args:
       msg: (B'*K, D) per-edge messages, chunk-major.
       blk_dst: (B', K) int32 local destination rows.
-      chunk_ptr: (B+1,) int32 chunk ranges per destination block.
+      blk_of_chunk: (B',) int32 destination block of each chunk
+        (non-decreasing).
       num_blocks: static B.
-    Returns: (B*R, D).
+    Returns: (B*R, D) float32.
     """
     Bp, K = blk_dst.shape
     D = msg.shape[-1]
-    # the TPU Mosaic kernel has no CPU lowering; fall back to the
-    # interpreter on host platforms (tests, multi-chip CPU simulation)
     interpret = interpret or jax.default_backend() == "cpu"
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(num_blocks,),
+        grid=(Bp,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),   # msg stays in HBM
-            pl.BlockSpec(memory_space=pltpu.ANY),   # dst ids in HBM
+            pl.BlockSpec((K, D), lambda c, blk_of: (c, 0)),
+            # ids as (B',1,K): a (1,1,K) block satisfies the tiling rule
+            # (dims equal to the array's own dims are exempt)
+            pl.BlockSpec((1, 1, K), lambda c, blk_of: (c, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((R, D), lambda b, ptr: (b, 0),
-                               memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((R, D), jnp.float32),
-            pltpu.VMEM((2, K, D), msg.dtype),
-            pltpu.VMEM((2, 8, K), jnp.int32),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
+        out_specs=pl.BlockSpec((R, D), lambda c, blk_of: (blk_of[c], 0)),
     )
-    kernel = partial(_kernel, K=K, D=D)
     out = pl.pallas_call(
-        kernel,
+        partial(_kernel, K=K, D=D),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((num_blocks * R, D), msg.dtype),
+        out_shape=jax.ShapeDtypeStruct((num_blocks * R, D), jnp.float32),
         interpret=interpret,
-    )(chunk_ptr, msg, blk_dst)
+    )(blk_of_chunk, msg.reshape(Bp * K, D), blk_dst.reshape(Bp, 1, K))
     return out
 
 
@@ -129,10 +89,11 @@ def chunk_ptr_from_out(blk_out: np.ndarray, num_blocks: int) -> np.ndarray:
     return ptr
 
 
-def pallas_blocked_spmm(blk_src, blk_dst, blk_val, chunk_ptr, x, num_blocks,
+def pallas_blocked_spmm(blk_src, blk_dst, blk_val, blk_out, x, num_blocks,
                         interpret=False):
     """Full SpMM: XLA gather + Pallas fused contraction.
 
+    ``blk_out`` is the (B',) chunk->destination-block table (sorted).
     Feature dims are padded to the 128-lane tile (the 8-dim input-feature
     layer pays a padded first SpMM; hidden layers are already aligned)."""
     Bp, K = blk_src.shape
@@ -141,11 +102,7 @@ def pallas_blocked_spmm(blk_src, blk_dst, blk_val, chunk_ptr, x, num_blocks,
     d_pad = -D % 128
     if d_pad:
         msg = jnp.pad(msg, ((0, 0), (0, d_pad)))
-    # pad the chunk axis to a multiple of 8 so the 8-row dst-id DMA groups
-    # never run off the end
-    b_pad = -Bp % 8
-    if b_pad:
-        blk_dst = jnp.pad(blk_dst, ((0, b_pad), (0, 0)), constant_values=0)
-    out = chunk_contract(msg, blk_dst, chunk_ptr, num_blocks,
-                         interpret=interpret)
+    out = chunk_contract(msg.reshape(Bp, K, D + d_pad), blk_dst, blk_out,
+                         num_blocks, interpret=interpret)
+    out = out.astype(x.dtype)
     return out[:, :D] if d_pad else out

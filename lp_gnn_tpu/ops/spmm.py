@@ -162,29 +162,28 @@ def _blocked_spmm_scan(blk_src, blk_dst, blk_val, blk_out, x, num_blocks,
     return out[:num_blocks].reshape(-1, D).astype(x.dtype)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(7,))
-def blocked_spmm_p(blk_src, blk_dst, blk_val, blk_ptr, x, transpose_blocks,
-                   blk_out, num_blocks):
+@partial(jax.custom_vjp, nondiff_argnums=(6,))
+def blocked_spmm_p(blk_src, blk_dst, blk_val, blk_out, x, transpose_blocks,
+                   num_blocks):
     """Pallas variant of blocked_spmm: fused one-hot contraction + chunk
-    accumulation in VMEM (ops/pallas_spmm.py). Same math and layout;
-    ``blk_ptr`` gives each destination block's chunk range."""
+    accumulation in VMEM (ops/pallas_spmm.py). Same math and layout."""
     from .pallas_spmm import pallas_blocked_spmm
-    return pallas_blocked_spmm(blk_src, blk_dst, blk_val, blk_ptr, x,
+    return pallas_blocked_spmm(blk_src, blk_dst, blk_val, blk_out, x,
                                num_blocks)
 
 
-def _blocked_spmm_p_fwd(blk_src, blk_dst, blk_val, blk_ptr, x, tr, blk_out,
+def _blocked_spmm_p_fwd(blk_src, blk_dst, blk_val, blk_out, x, tr,
                         num_blocks):
-    out = blocked_spmm_p(blk_src, blk_dst, blk_val, blk_ptr, x, tr, blk_out,
+    out = blocked_spmm_p(blk_src, blk_dst, blk_val, blk_out, x, tr,
                          num_blocks)
     return out, (tr, x.shape[0])
 
 
 def _blocked_spmm_p_bwd(num_blocks, res, g):
-    (t_src, t_dst, t_val, t_ptr, t_out), num_src = res
-    dx = blocked_spmm_p(t_src, t_dst, t_val, t_ptr, g, None, t_out,
+    (t_src, t_dst, t_val, t_out), num_src = res
+    dx = blocked_spmm_p(t_src, t_dst, t_val, t_out, g, None,
                         num_src // 128)[:num_src]
-    return None, None, None, None, dx, None, None
+    return None, None, None, None, dx, None
 
 
 blocked_spmm_p.defvjp(_blocked_spmm_p_fwd, _blocked_spmm_p_bwd)
@@ -210,20 +209,18 @@ def _blocked_call(pg, x, side):
 
     side='c2v': dst = vars (blkc layout); side='v2c': dst = cons (blkr)."""
     if side == "c2v":
-        own = (pg.blkc_src, pg.blkc_dst, pg.blkc_val, pg.blkc_out, pg.blkc_ptr)
-        tr4 = (pg.blkr_src, pg.blkr_dst, pg.blkr_val, pg.blkr_out)
-        tr5 = tr4[:3] + (pg.blkr_ptr, pg.blkr_out)
+        own = (pg.blkc_src, pg.blkc_dst, pg.blkc_val, pg.blkc_out)
+        tr = (pg.blkr_src, pg.blkr_dst, pg.blkr_val, pg.blkr_out)
         n_out = pg.v_feas.shape[0]
     else:
-        own = (pg.blkr_src, pg.blkr_dst, pg.blkr_val, pg.blkr_out, pg.blkr_ptr)
-        tr4 = (pg.blkc_src, pg.blkc_dst, pg.blkc_val, pg.blkc_out)
-        tr5 = tr4[:3] + (pg.blkc_ptr, pg.blkc_out)
+        own = (pg.blkr_src, pg.blkr_dst, pg.blkr_val, pg.blkr_out)
+        tr = (pg.blkc_src, pg.blkc_dst, pg.blkc_val, pg.blkc_out)
         n_out = pg.c_feas.shape[0]
-    if _use_pallas() and own[4] is not None:
-        out = blocked_spmm_p(own[0], own[1], own[2], own[4], x, tr5, own[3],
+    if _use_pallas():
+        out = blocked_spmm_p(own[0], own[1], own[2], own[3], x, tr,
                              n_out // 128)
     else:
-        out = blocked_spmm(own[0], own[1], own[2], own[3], x, tr4,
+        out = blocked_spmm(own[0], own[1], own[2], own[3], x, tr,
                            n_out // 128)
     return out[:n_out]
 

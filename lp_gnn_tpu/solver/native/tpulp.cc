@@ -72,9 +72,15 @@ struct Solver {
   std::vector<int> pos_in_basis;      // N: -1 or basis position
   std::vector<int> vstat;             // N
   std::vector<double> x;              // N current values
-  // factorization
-  std::vector<double> LUmat;          // m*m row-major
-  std::vector<int> prow;              // row permutation
+  // Gilbert-Peierls sparse LU of the basis:  B = Lfull * U  with
+  // Lfull[:,p] = e_{pivrow[p]} + (strictly-lower entries in original row
+  // ids), U upper-triangular in pivot-position space. Pivot position k
+  // corresponds to basis column k.
+  std::vector<std::vector<std::pair<int, double>>> Lcols;  // (orig row, val)
+  std::vector<std::vector<std::pair<int, double>>> Ucols;  // (pos p<k, val)
+  std::vector<double> Udiag;
+  std::vector<int> pivrow;            // position -> original row
+  std::vector<int> rowpos;            // original row -> position (-1 unset)
   std::vector<Eta> etas;
   // stats
   long long niter = 0;
@@ -92,46 +98,66 @@ struct Solver {
   }
 
   // ------------------------------------------------------------- factorize
-  // Builds LU of the basis; singular columns are replaced by the logical of
-  // the stuck pivot row (rank-deficiency repair, counted when counting=true).
+  // Gilbert-Peierls sparse LU with partial pivoting; singular columns are
+  // replaced by the logical of an unpivoted row (rank-deficiency repair,
+  // counted when counting=true).
   int factorize(bool counting) {
     Clock ck;
     const int M = m;
+    std::vector<double> w(M, 0.0);
+    std::vector<int> touched;
+    touched.reserve(64);
+    std::vector<char> mark(M, 0);
+    std::vector<std::pair<int, double>> colbuf;
     for (int attempt = 0;; ++attempt) {
       if (attempt > m + 4) return -1;
-      LUmat.assign((size_t)M * M, 0.0);
-      std::vector<std::pair<int, double>> colbuf;
-      for (int k = 0; k < M; ++k) {
-        col_of(basic[k], colbuf);
-        for (auto& e : colbuf) LUmat[(size_t)e.first * M + k] = e.second;
-      }
-      prow.resize(M);
-      for (int i = 0; i < M; ++i) prow[i] = i;
+      Lcols.assign(M, {});
+      Ucols.assign(M, {});
+      Udiag.assign(M, 0.0);
+      pivrow.assign(M, -1);
+      rowpos.assign(M, -1);
       bool repaired = false;
-      for (int k = 0; k < M; ++k) {
-        // partial pivot on column k
-        int p = k;
-        double best = std::fabs(LUmat[(size_t)prow[k] * M + k]);
-        for (int i = k + 1; i < M; ++i) {
-          double v = std::fabs(LUmat[(size_t)prow[i] * M + k]);
-          if (v > best) { best = v; p = i; }
+      for (int k = 0; k < M && !repaired; ++k) {
+        // scatter basis column k
+        col_of(basic[k], colbuf);
+        touched.clear();
+        for (auto& e : colbuf) {
+          w[e.first] = e.second;
+          if (!mark[e.first]) { mark[e.first] = 1; touched.push_back(e.first); }
+        }
+        // eliminate with existing pivot columns (in position order); the
+        // touched list grows as L fills in
+        for (int p = 0; p < k; ++p) {
+          double zp = w[pivrow[p]];
+          if (zp == 0.0) continue;
+          for (auto& e : Lcols[p]) {
+            if (!mark[e.first]) {
+              mark[e.first] = 1;
+              touched.push_back(e.first);
+            }
+            w[e.first] -= zp * e.second;
+          }
+        }
+        // pivot: largest |w| over unpivoted rows
+        int prow_k = -1;
+        double best = 0.0;
+        for (int r : touched) {
+          if (rowpos[r] >= 0) continue;
+          double v = std::fabs(w[r]);
+          if (v > best) { best = v; prow_k = r; }
         }
         if (best < PIVOT_TOL) {
-          // basis column k is dependent: swap in the logical of pivot row
-          int r = prow[k];
-          int old = basic[k];
-          int logical = n + r;
-          if (pos_in_basis[logical] >= 0) {
-            // logical already basic elsewhere; find any nonbasic logical of
-            // an unpivoted row
-            int found = -1;
-            for (int i = k; i < M && found < 0; ++i) {
-              int cand = n + prow[i];
-              if (pos_in_basis[cand] < 0) found = cand;
-            }
-            if (found < 0) return -1;
-            logical = found;
+          // dependent column: swap in a nonbasic logical of an unpivoted row
+          int logical = -1;
+          for (int r : touched)
+            if (rowpos[r] < 0 && pos_in_basis[n + r] < 0) { logical = n + r; break; }
+          if (logical < 0) {
+            for (int r = 0; r < M && logical < 0; ++r)
+              if (rowpos[r] < 0 && pos_in_basis[n + r] < 0) logical = n + r;
           }
+          for (int r : touched) { w[r] = 0.0; mark[r] = 0; }
+          if (logical < 0) return -1;
+          int old = basic[k];
           pos_in_basis[old] = -1;
           vstat[old] = nearest_bound_status(old);
           x[old] = status_value(old);
@@ -142,17 +168,24 @@ struct Solver {
           repaired = true;
           break;
         }
-        std::swap(prow[k], prow[p]);
-        double pivot = LUmat[(size_t)prow[k] * M + k];
-        for (int i = k + 1; i < M; ++i) {
-          double f = LUmat[(size_t)prow[i] * M + k] / pivot;
-          LUmat[(size_t)prow[i] * M + k] = f;
-          if (f != 0.0) {
-            double* __restrict ri = &LUmat[(size_t)prow[i] * M];
-            const double* __restrict rk = &LUmat[(size_t)prow[k] * M];
-            for (int jj = k + 1; jj < M; ++jj) ri[jj] -= f * rk[jj];
+        // record U (pivoted rows) and L (unpivoted rows, scaled)
+        double piv = w[prow_k];
+        for (int r : touched) {
+          double v = w[r];
+          w[r] = 0.0;
+          mark[r] = 0;
+          if (v == 0.0 || r == prow_k) continue;
+          int p = rowpos[r];
+          if (p >= 0) {
+            if (std::fabs(v) > ZERO_TOL) Ucols[k].push_back({p, v});
+          } else {
+            double f = v / piv;
+            if (std::fabs(f) > ZERO_TOL) Lcols[k].push_back({r, f});
           }
         }
+        Udiag[k] = piv;
+        pivrow[k] = prow_k;
+        rowpos[prow_k] = k;
       }
       if (!repaired) {
         etas.clear();
@@ -175,26 +208,26 @@ struct Solver {
     }
   }
 
-  // solve B v = rhs in place
+  // solve B v = rhs in place (rhs in original row ids; result indexed by
+  // basis position)
   void ftran(std::vector<double>& v) const {
     const int M = m;
-    // Ly = Pv ; Ux = y
-    std::vector<double> y(M);
-    for (int i = 0; i < M; ++i) y[i] = v[prow[i]];
-    for (int k = 0; k < M; ++k) {
-      double yk = y[k];
-      if (yk != 0.0) {
-        for (int i = k + 1; i < M; ++i)
-          y[i] -= LUmat[(size_t)prow[i] * M + k] * yk;
-      }
+    // z = Lfull^{-1} rhs  (forward over pivot positions)
+    std::vector<double> z(M);
+    for (int p = 0; p < M; ++p) {
+      double zp = v[pivrow[p]];
+      z[p] = zp;
+      if (zp != 0.0)
+        for (auto& e : Lcols[p]) v[e.first] -= zp * e.second;
     }
+    // U y = z  (backward; U column-stored)
     for (int k = M - 1; k >= 0; --k) {
-      double s = y[k];
-      const double* __restrict rk = &LUmat[(size_t)prow[k] * M];
-      for (int jj = k + 1; jj < M; ++jj) s -= rk[jj] * y[jj];
-      y[k] = s / rk[k];
+      double yk = z[k] / Udiag[k];
+      z[k] = yk;
+      if (yk != 0.0)
+        for (auto& e : Ucols[k]) z[e.first] -= e.second * yk;
     }
-    v = y;
+    v = z;
     for (const auto& e : etas) {
       double vr = v[e.r] / e.wr;
       if (vr != 0.0) {
@@ -204,7 +237,8 @@ struct Solver {
     }
   }
 
-  // solve B^T v = rhs in place
+  // solve B^T v = rhs in place (rhs indexed by basis position; result in
+  // original row ids)
   void btran(std::vector<double>& v) const {
     const int M = m;
     for (auto it = etas.rbegin(); it != etas.rend(); ++it) {
@@ -212,21 +246,20 @@ struct Solver {
       for (auto& p : it->w) s -= p.second * v[p.first];
       v[it->r] = s / it->wr;
     }
-    // U^T y = v ; L^T z = y ; out = P^T z
-    std::vector<double> y(M);
+    // U^T t = v  (forward; uses U columns directly)
+    std::vector<double> t(M);
     for (int k = 0; k < M; ++k) {
       double s = v[k];
-      for (int i = 0; i < k; ++i) s -= LUmat[(size_t)prow[i] * M + k] * y[i];
-      y[k] = s / LUmat[(size_t)prow[k] * M + k];
+      for (auto& e : Ucols[k]) s -= e.second * t[e.first];
+      t[k] = s / Udiag[k];
     }
-    for (int k = M - 1; k >= 0; --k) {
-      double s = y[k];
-      for (int i = k + 1; i < M; ++i)
-        s -= LUmat[(size_t)prow[i] * M + k] * y[i];
-      y[k] = s;
+    // Lfull^T out = t  (backward; uses L columns directly)
+    std::vector<double> out(M, 0.0);
+    for (int p = M - 1; p >= 0; --p) {
+      double s = t[p];
+      for (auto& e : Lcols[p]) s -= e.second * out[e.first];
+      out[pivrow[p]] = s;
     }
-    std::vector<double> out(M);
-    for (int i = 0; i < M; ++i) out[prow[i]] = y[i];
     v = out;
   }
 
