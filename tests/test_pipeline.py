@@ -71,3 +71,27 @@ def test_full_train_test(tiny_cfg):
     assert val["acc"].notna().all()
     # a trained model must beat random: accuracy above 0.5
     assert val["acc"].mean() > 0.5
+
+
+def test_train_other_archs(tiny_cfg):
+    """GCNDeeper and GENDeeper train through the same engine (arch zoo
+    coverage at the pipeline level)."""
+    import dataclasses
+    from lp_gnn_tpu.train.trainer import run_exp
+    for arch in ["GCNDeeper(8,8,hids=16,depth=4)",
+                 "GENDeeper(8,8,hids=16,depth=3)"]:
+        cfg = dataclasses.replace(tiny_cfg, arch=arch, epochs=3,
+                                  exp_nm="t-arch")
+        cfg.finalize()
+        ckpt = run_exp(cfg)
+        assert osp.exists(ckpt)
+
+
+def test_profiling_helpers(tmp_path):
+    from lp_gnn_tpu.utils.profiling import show_resource, annotate
+    res = show_resource()
+    assert isinstance(res, dict)
+    import jax.numpy as jnp
+    with annotate("test-region"):
+        x = jnp.zeros(3) + 1
+    assert float(x.sum()) == 3.0
