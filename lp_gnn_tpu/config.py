@@ -178,4 +178,10 @@ def parse_args(argv=None, make_log_dir: bool = True, **defaults) -> Config:
         logging.warning("unknown args: %s", unknown)
     for k, v in vars(known).items():
         setattr(cfg, k, v)
-    return cfg.finalize(make_log_dir=make_log_dir)
+    cfg.finalize(make_log_dir=make_log_dir)
+    if make_log_dir:
+        # attach the per-run file log (reference Environment attaches
+        # log-ing/log-prt, utils.py:452-497)
+        from .utils.log import set_file_logger
+        set_file_logger(cfg.log_dir)
+    return cfg

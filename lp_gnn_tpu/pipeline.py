@@ -41,6 +41,7 @@ from .utils.serialize import df_dump, df_load, msgpack_dump
 
 
 def _mps_files(cfg: Config) -> list[str]:
+    from .utils.misc import split_out_chunk
     fns = sorted(glob.glob(f"{cfg.dataset_prefix}/mps/*.mps"),
                  key=lambda nm: (len(nm), nm))
     if not fns:
@@ -48,7 +49,8 @@ def _mps_files(cfg: Config) -> list[str]:
                      key=lambda nm: (len(nm), nm))
     if not fns:
         raise ValueError(f"no mps under {cfg.dataset_prefix}/mps")
-    return fns
+    # --chunk "k/N" splits solver work across processes (run_solver.py:46)
+    return split_out_chunk(fns, cfg.chunk)
 
 
 def _solve_backend(cfg: Config):
