@@ -182,7 +182,10 @@ def run_exp(cfg: Config, dataset: LPDataset | None = None) -> str:
         if idx not in padded_cache:
             g = train_ds[idx]
             if g.nnz <= cfg.edge_num_thresh:
-                padded_cache[idx] = pad_graph(g)
+                # device-resident cache: upload once, reuse across epochs
+                # (host->device transfers dominate step time on tunneled
+                # devices otherwise)
+                padded_cache[idx] = jax.device_put(pad_graph(g))
             else:
                 padded_cache[idx] = None   # sampled path, not cached
         pg = padded_cache[idx]
