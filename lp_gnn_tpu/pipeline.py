@@ -182,8 +182,13 @@ def stage_pred_basis(cfg: Config, ckpt_path: str | None = None) -> str:
     inf_mng = parse_inference_manager(cfg.inference_manager)
     out_dir = osp.join(cfg.log_dir, inf_mng.get_basis_folder())
     model = build_model(cfg.arch_with_dtype())
-    ckpt = load_ckpt(ckpt_path or cfg.load_from)
-    params = ckpt["params"]
+    src = ckpt_path or cfg.load_from
+    if str(src).lower() == "none":
+        # control baselines (GCNRand / all-slacks decode) need no weights
+        import jax
+        params = model.init(jax.random.PRNGKey(cfg.seed))
+    else:
+        params = load_ckpt(src)["params"]
     ds = LPDataset(cfg.dataset_processed_prefix, load_meta=True)
     train_ds, val_ds = split_train_val(ds, cfg.seed)
     target = val_ds if cfg.split == "val" else ds

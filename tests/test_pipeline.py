@@ -95,3 +95,27 @@ def test_profiling_helpers(tmp_path):
     with annotate("test-region"):
         x = jnp.zeros(3) + 1
     assert float(x.sum()) == 3.0
+
+
+def test_control_baselines(tiny_cfg):
+    """GCNRand + all-slacks decode control baselines run through the full
+    predict->warm-start path (reference arch.py:116-126, val.py:127-135,
+    run 1/2 of InferenceManager)."""
+    import dataclasses
+    from lp_gnn_tpu import pipeline as pl
+
+    cfg = dataclasses.replace(
+        tiny_cfg, arch="GCNRand()", exp_nm="t-rand",
+        inference_manager="InferenceManager(1, run=1)", load_from="None")
+    cfg.finalize()
+    out_dir = pl.stage_pred_basis(cfg)
+    assert "all-slacks-bas-1" in out_dir
+    import os
+    assert len([f for f in os.listdir(out_dir) if f.endswith(".bas")]) == 3
+    pl.stage_warm_start(cfg)
+    import glob
+    logs = glob.glob(f"{cfg.log_dir}/log/all-slacks-bas-1/*.log")
+    assert len(logs) == 3
+    from lp_gnn_tpu.reporting.extract import extract_time
+    iters, tm = extract_time(logs[0])
+    assert iters >= 0 and tm is not None
