@@ -30,13 +30,23 @@ from .decode import inference_gnn
 def model_inference(model: Model, params, g: BipartiteGraph,
                     edge_num_thresh: float = np.inf,
                     batch_size: int = 10240 * 32, depth: int | None = None,
-                    rng=None):
+                    rng=None, mesh=None):
     """Exact logits for every node of one graph (reference val.py:12-41).
 
     Small graphs: one padded full-graph forward. Oversize graphs: exact
     (fanout -1) sampled shards over seed batches, concatenating seed logits.
+    With a ``mesh`` (and the flagship GCN_FC arch), oversize graphs instead
+    run edge-partitioned full-graph distributed inference — the TPU build's
+    replacement for sampled sharding (SURVEY.md §2.3).
     Returns (logit_cons (m,3), logit_vars (n,3)) numpy, unpadded.
     """
+    if mesh is not None and g.nnz > edge_num_thresh and \
+            model.name == "GCN_FC":
+        from ..parallel.edge_partition import partition_graph, dist_apply
+        n_shards = int(np.prod(mesh.devices.shape))
+        dg = partition_graph(pad_graph(g), n_shards)
+        lc, lv = dist_apply(params, dg, mesh)
+        return (np.asarray(lc)[: g.ncons], np.asarray(lv)[: g.nvars])
     if g.nnz <= edge_num_thresh:
         pg = pad_graph(g)
         lc, lv = jax.jit(partial(model.apply, train=False))(params, pg)

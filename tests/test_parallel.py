@@ -125,3 +125,18 @@ def test_dp_step_matches_serial(rng):
     assert np.isclose(float(loss_d), float(loss_ref), rtol=1e-5)
     for a, b in zip(jax.tree.leaves(p2), jax.tree.leaves(p_ref)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_dist_inference_via_model_inference(rng):
+    """model_inference with a mesh runs edge-partitioned full-graph
+    inference and matches single-chip logits."""
+    from lp_gnn_tpu.infer.predict import model_inference
+    from tests.test_sampling import make_graph
+    g = make_graph(rng, m=40, n=70, e=300)
+    model = build_model("GCN_FC(8,8,hids=16,depth=3)")
+    params = model.init(jax.random.PRNGKey(0))
+    lc_ref, lv_ref = model_inference(model, params, g)
+    mesh = make_mesh({"edge": 4})
+    lc, lv = model_inference(model, params, g, edge_num_thresh=0, mesh=mesh)
+    np.testing.assert_allclose(lc, lc_ref, atol=5e-4)
+    np.testing.assert_allclose(lv, lv_ref, atol=5e-4)
