@@ -590,18 +590,20 @@ struct Solver {
     if (artificial && (res == OPTIMAL)) {
       bool active = false;
       for (int j = 0; j < N; ++j) {
-        if (lo[j] != lo_orig[j]) {
-          if (vstat[j] == LL) { active = true; vstat[j] = FZ; x[j] = x[j]; }
-          lo[j] = lo_orig[j];
-        }
-        if (hi[j] != hi_orig[j]) {
-          if (vstat[j] == UL) { active = true; vstat[j] = FZ; }
-          hi[j] = hi_orig[j];
+        bool was_art_lo = lo[j] != lo_orig[j];
+        bool was_art_hi = hi[j] != hi_orig[j];
+        lo[j] = lo_orig[j];
+        hi[j] = hi_orig[j];
+        if ((was_art_lo && vstat[j] == LL) ||
+            (was_art_hi && vstat[j] == UL)) {
+          // nonbasic at an artificial bound: snap to a real bound (or free
+          // at zero) and let the primal cleanup re-optimize
+          active = true;
+          vstat[j] = nearest_bound_status(j);
+          x[j] = status_value(j);
         }
       }
       if (active) {
-        // FZ vars hold their current value is not representable; push them
-        // basic-ward via primal phase 1+2 from here
         compute_xb();
         res = primal(true);
       }

@@ -125,3 +125,21 @@ def test_native_engine_pipeline(tmp_path):
     g = ds[0]
     assert (np.asarray(g.y_t) == 1).sum() + (np.asarray(g.y_s) == 1).sum() \
         == g.ncons
+
+
+def test_native_dual_artificial_bounds():
+    """Dual warm start with a dual-infeasible unbounded-above column
+    exercises the artificial-bound phase-1 + primal cleanup path."""
+    from lp_gnn_tpu.io.mps import LPData
+    from scipy.sparse import csr_matrix
+    # min -x  s.t. x <= 5, x >= 0 (u = +inf: not boxed -> artificial bound)
+    lp = LPData(c=np.array([-1.0]), b_l=np.array([-np.inf]),
+                A=csr_matrix(np.array([[1.0]])), b_u=np.array([5.0]),
+                lb=np.array([0.0]), ub=np.array([np.inf]),
+                con_nms=np.array(["r0"], dtype=object),
+                var_nms=np.array(["x0"], dtype=object))
+    # all-slack warm basis: x nonbasic at lower with d = -1 < 0
+    r = native.solve_lp_native(lp, method=1,
+                               basis_in=(np.array([0]), np.array([1])))
+    assert r.status == "Optimal"
+    assert np.isclose(r.objective, -5.0)
