@@ -195,11 +195,12 @@ class LPDataset:
             res = json_load(dump_fn)
         except Exception:
             res = []
-            for idx, fn in enumerate(self.fns):
-                g = LPDataset.get(self, idx) if True else None
+            for idx in range(len(self.fns)):
+                g = self.get(idx)
                 res.append(dict(
                     idx=idx, nedges=g.nnz, nnodes=g.ncons + g.nvars,
-                    fn=osp.basename(fn), ncons=g.ncons, nvars=g.nvars,
+                    fn=osp.basename(self.fns[idx]), ncons=g.ncons,
+                    nvars=g.nvars,
                     density=g.nnz / max(g.ncons * g.nvars, 1),
                     num_basis_vars=int((g.y_t == 1).sum()),
                 ))

@@ -26,6 +26,19 @@ from ..utils.misc import extract_fn
 from ..utils.serialize import df_dump, df_load
 from .decode import inference_gnn
 
+# jitted-apply cache: one compiled forward per Model instance (jit caches
+# per bucket shape internally); avoids re-tracing per LP in validation /
+# prediction loops
+_JIT_CACHE: dict[int, object] = {}
+
+
+def _jit_apply(model: Model):
+    fn = _JIT_CACHE.get(id(model))
+    if fn is None:
+        fn = jax.jit(partial(model.apply, train=False))
+        _JIT_CACHE[id(model)] = fn
+    return fn
+
 
 def model_inference(model: Model, params, g: BipartiteGraph,
                     edge_num_thresh: float = np.inf,
@@ -41,15 +54,17 @@ def model_inference(model: Model, params, g: BipartiteGraph,
     Returns (logit_cons (m,3), logit_vars (n,3)) numpy, unpadded.
     """
     if mesh is not None and g.nnz > edge_num_thresh and \
-            model.name == "GCN_FC":
+            model.name == "GCN_FC" and "edge" in mesh.axis_names:
         from ..parallel.edge_partition import partition_graph, dist_apply
-        n_shards = int(np.prod(mesh.devices.shape))
+        # shard count = size of the 'edge' axis only (a 2-D dp x edge mesh
+        # must not inflate the partition)
+        n_shards = dict(zip(mesh.axis_names, mesh.devices.shape))["edge"]
         dg = partition_graph(pad_graph(g), n_shards)
         lc, lv = dist_apply(params, dg, mesh)
         return (np.asarray(lc)[: g.ncons], np.asarray(lv)[: g.nvars])
     if g.nnz <= edge_num_thresh:
         pg = pad_graph(g)
-        lc, lv = jax.jit(partial(model.apply, train=False))(params, pg)
+        lc, lv = _jit_apply(model)(params, pg)
         return (np.asarray(lc)[: g.ncons], np.asarray(lv)[: g.nvars])
     rng = rng or np.random.RandomState(0)
     hops = max((depth or 3) - 1, 1)
@@ -61,7 +76,7 @@ def model_inference(model: Model, params, g: BipartiteGraph,
     # seed order: shards partition nodes in index order (shuffle=False)
     ptr = 0
     nodes = np.arange(g.ncons + g.nvars)
-    fwd = jax.jit(partial(model.apply, train=False))
+    fwd = _jit_apply(model)
     for pg in shards:
         lc, lv = fwd(params, pg)
         s_bs, t_bs = int(pg.s_bs), int(pg.t_bs)
@@ -161,7 +176,7 @@ def timed_inference(model: Model, params, ds: LPDataset, cfg: Config,
     (reference pred_basis.py:158-176)."""
     import time
     df = df_load(dump_info) if dump_info and osp.exists(dump_info) else None
-    fwd = jax.jit(partial(model.apply, train=False))
+    fwd = _jit_apply(model)
     times = {}
     for i in range(len(ds)):
         g = ds[i]

@@ -106,7 +106,8 @@ def read_mps(path: str, only_names: bool = False):
                 if sense == "N":
                     if obj_row is None:
                         obj_row = rname
-                    continue
+                        continue
+                    sense = "F"   # additional N rows are free constraints
                 row_sense[rname] = sense
                 row_idx[rname] = len(row_order)
                 row_order.append(rname)
@@ -185,6 +186,7 @@ def read_mps(path: str, only_names: bool = False):
             b_u[i] = r
         elif s == "G":
             b_l[i] = r
+        # "F" (free row): both bounds stay infinite
     # RANGES: L row -> b_l = rhs - |R|; G row -> b_u = rhs + |R|;
     # E row -> R>=0: [rhs, rhs+R], R<0: [rhs+R, rhs]
     for rname, R in ranges.items():
@@ -245,7 +247,9 @@ def write_mps(lp: LPData, path: str) -> None:
     senses = []
     for i in range(m):
         lo, hi = b_l[i], b_u[i]
-        if lo == hi:
+        if not np.isfinite(lo) and not np.isfinite(hi):
+            s = "N"   # free row (non-objective N row)
+        elif lo == hi:
             s = "E"
         elif np.isfinite(hi) and not np.isfinite(lo):
             s = "L"
@@ -259,16 +263,18 @@ def write_mps(lp: LPData, path: str) -> None:
     indptr, indices, data = Ac.indptr, Ac.indices, Ac.data
     for j in range(n):
         nm = var_nms[j]
-        if c[j] != 0.0:
+        if c[j] != 0.0 or indptr[j] == indptr[j + 1]:
+            # always emit at least one entry so empty zero-cost columns
+            # survive the round trip
             lines.append(f"    {nm} OBJ {c[j]:.17g}")
         for k in range(indptr[j], indptr[j + 1]):
             lines.append(f"    {nm} {con_nms[indices[k]]} {data[k]:.17g}")
     lines.append("RHS")
     for i in range(m):
         s = senses[i]
-        r = b_u[i] if s in ("L", "E") else b_l[i]
-        if s == "L" and not np.isfinite(b_u[i]):
+        if s == "N":
             continue
+        r = b_u[i] if s in ("L", "E") else b_l[i]
         if r != 0.0:
             lines.append(f"    RHS {con_nms[i]} {r:.17g}")
     if lp.obj_const != 0.0:

@@ -237,6 +237,8 @@ def stage_warm_start(cfg: Config) -> None:
         fns = list(df["fn"])
     for nm in fns:
         mps = f"{cfg.dataset_prefix}/mps/{nm}.mps"
+        if not osp.exists(mps) and osp.exists(mps + ".gz"):
+            mps = mps + ".gz"
         bas = f"{cfg.log_dir}/{basis_folder}/{nm}.bas"
         if not osp.exists(bas):
             logging.error("missing predicted basis %s", bas)

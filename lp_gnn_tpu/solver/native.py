@@ -50,6 +50,7 @@ def _load():
             ctypes.POINTER(ctypes.c_double),                     # x out (n)
             ctypes.POINTER(ctypes.c_longlong),                   # info out [niter, nrepair]
             ctypes.POINTER(ctypes.c_double),                     # dinfo out [obj, fact_time]
+            ctypes.c_longlong,                                   # max_iter (0=auto)
         ]
         _lib = lib
     return _lib
@@ -73,7 +74,9 @@ _STATUS = {0: "Optimal", 1: "Infeasible", 2: "Unbounded", 3: "IterationLimit",
 
 
 def solve_lp_native(lp, method: int = 1, basis_in=None,
-                    max_iter: int = 200_000_000) -> NativeResult:
+                    max_iter: int = 0) -> NativeResult:
+    """Solve with the native runtime. ``max_iter`` 0 = automatic
+    (200000 + 40*m in the C runtime)."""
     lib = _load()
     assert lib is not None, "native runtime not built (make -C lp_gnn_tpu/solver/native)"
     A = lp.A.tocsc()
@@ -107,7 +110,8 @@ def solve_lp_native(lp, method: int = 1, basis_in=None,
         p(c, ctypes.c_double), p(lb, ctypes.c_double), p(ub, ctypes.c_double),
         p(bl, ctypes.c_double), p(bu, ctypes.c_double),
         int(method), p(col_b, ctypes.c_int), p(row_b, ctypes.c_int), have_in,
-        p(x, ctypes.c_double), p(info, ctypes.c_longlong), p(dinfo, ctypes.c_double))
+        p(x, ctypes.c_double), p(info, ctypes.c_longlong),
+        p(dinfo, ctypes.c_double), int(max_iter))
     dt = time.time() - t0
     status = _STATUS.get(code, "Unknown")
     log = _format_log(status, int(info[0]), dt, float(dinfo[0]),

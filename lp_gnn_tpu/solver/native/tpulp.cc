@@ -586,8 +586,11 @@ struct Solver {
         compute_xb();
       }
     }
-    // remove artificial bounds; primal cleanup if any are active
-    if (artificial && (res == OPTIMAL)) {
+    // Remove artificial bounds unconditionally: any verdict other than
+    // OPTIMAL reached *under* artificial bounds concerns a modified LP and
+    // must not leak (a dual INFEASIBLE there may be feasible originally;
+    // a NUMFAIL fallback must not optimize the clipped problem).
+    if (artificial) {
       bool active = false;
       for (int j = 0; j < N; ++j) {
         bool was_art_lo = lo[j] != lo_orig[j];
@@ -603,7 +606,8 @@ struct Solver {
           x[j] = status_value(j);
         }
       }
-      if (active) {
+      if ((res == OPTIMAL && active) || res == INFEASIBLE || res == NUMFAIL) {
+        if (factorize(false) != 0) return NUMFAIL;
         compute_xb();
         res = primal(true);
       }
@@ -628,7 +632,8 @@ int tpulp_solve(int m, int n, long long nnz,
                 const double* bl, const double* bu,
                 int method,
                 int* col_basis, int* row_basis, int have_basis_in,
-                double* x_out, long long* info, double* dinfo) {
+                double* x_out, long long* info, double* dinfo,
+                long long max_iter) {
   Solver S;
   S.m = m;
   S.n = n;
@@ -648,7 +653,7 @@ int tpulp_solve(int m, int n, long long nnz,
   S.vstat.assign(S.N, LL);
   S.pos_in_basis.assign(S.N, -1);
   S.basic.resize(m);
-  S.max_iter = 200000 + 40LL * m;
+  S.max_iter = max_iter > 0 ? max_iter : 200000 + 40LL * m;
 
   // initial basis
   if (have_basis_in) {

@@ -223,7 +223,8 @@ def run_exp(cfg: Config, dataset: LPDataset | None = None) -> str:
                     writer.scalar("train/loss", loss_meter.avg, glstep)
                     writer.scalar("train/acc", acc_meter.avg, glstep)
                     writer.scalar("train/lr", lr, glstep)
-        save_ckpt(ckpt_path, params, opt_state, epoch,
+        # store the NEXT epoch to run so resume does not repeat this one
+        save_ckpt(ckpt_path, params, opt_state, epoch + 1,
                   extra={"arch": cfg.arch, "loss": cfg.loss})
         if cfg.eval_every and (epoch + 1) % cfg.eval_every == 0 and len(val_ds):
             va = _quick_val(model, params, val_ds, cfg)
@@ -243,7 +244,8 @@ def _quick_val(model, params, val_ds, cfg) -> float:
     for i in range(len(val_ds)):
         g = val_ds[i]
         pg = pad_graph(g)
-        lc, lv = jax.jit(partial(model.apply, train=False))(params, pg)
+        from ..infer.predict import _jit_apply
+        lc, lv = _jit_apply(model)(params, pg)
         logits = np.concatenate([np.asarray(lc)[: g.ncons],
                                  np.asarray(lv)[: g.nvars]])
         gt = np.concatenate([g.y_s, g.y_t])

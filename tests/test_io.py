@@ -106,3 +106,25 @@ def test_check_lb_ub():
     # index 0 (now UL with u=+inf) and index 3 flip to LL
     check_ub(lbls, u)
     assert lbls.tolist() == [0, 0, 2, 0]
+
+
+def test_mps_free_row_and_empty_column_roundtrip(tmp_path):
+    """Free rows survive as N rows; zero-cost empty columns survive via an
+    explicit OBJ entry (code-review findings)."""
+    from lp_gnn_tpu.io.mps import LPData
+    from scipy.sparse import csr_matrix
+    A = csr_matrix(np.array([[1.0, 0.0], [2.0, 0.0]]))
+    lp = LPData(c=np.array([1.0, 0.0]),
+                b_l=np.array([-np.inf, -np.inf]),
+                A=A, b_u=np.array([np.inf, 3.0]),    # row 0 is free
+                lb=np.zeros(2), ub=np.array([np.inf, 4.0]),
+                con_nms=np.array(["r0", "r1"], dtype=object),
+                var_nms=np.array(["x0", "x1"], dtype=object))
+    fn = str(tmp_path / "f.mps")
+    write_mps(lp, fn)
+    lp2 = read_mps(fn)
+    assert lp2.shape == (2, 2)
+    np.testing.assert_allclose(lp2.b_l, [-np.inf, -np.inf])
+    np.testing.assert_allclose(lp2.b_u, [np.inf, 3.0])
+    np.testing.assert_allclose(lp2.c, [1.0, 0.0])
+    np.testing.assert_allclose(lp2.ub, [np.inf, 4.0])
