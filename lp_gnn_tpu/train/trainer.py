@@ -196,6 +196,23 @@ def run_exp(cfg: Config, dataset: LPDataset | None = None) -> str:
         return sample_subgraphs(g, rng_np, fanout=[6] * depth,
                                 batch_size=cfg.batch_size)
 
+    # optional data-parallel step over a device mesh (--mesh_shape "dp=K"):
+    # same-bucket graphs are grouped into K-sized batches; leftovers fall
+    # back to single-device steps (reference has no DP at all, train.py:81)
+    dp_step, dp_size = None, 0
+    mesh_spec = getattr(cfg, "mesh_shape", "")
+    if mesh_spec and "dp=" in mesh_spec:
+        from ..parallel.mesh import make_mesh, parse_mesh_shape
+        from ..parallel.dp import make_dp_train_step, stack_graphs
+        shape = parse_mesh_shape(mesh_spec)
+        dp_size = shape.get("dp", 0)
+        if dp_size > 1 and dp_size <= len(jax.devices()):
+            mesh = make_mesh({"dp": dp_size})
+            dp_step = make_dp_train_step(model, cfg.loss, optimizer, mesh)
+            logging.info("data-parallel training over %d devices", dp_size)
+        else:
+            dp_size = 0
+
     loss_meter, acc_meter = AverageMeter(), AverageMeter()
     glstep = 0
     ckpt_path = os.path.join(log_dir, "mdl.ckpt")
@@ -205,24 +222,55 @@ def run_exp(cfg: Config, dataset: LPDataset | None = None) -> str:
         lr = step_lr(cfg.lr, cfg.epochs, epoch)
         loss_meter.reset(), acc_meter.reset()
         order = rng_np.permutation(n_train)
-        for idx_graphs, gi in enumerate(order):
-            for pg in batches_for(int(gi), rng_np):
+
+        def log_step(idx_graphs, loss_v, acc_v):
+            assert not np.isnan(loss_v), "nan loss (reference train.py:126)"
+            loss_meter.update(loss_v)
+            acc_meter.update(acc_v)
+            if glstep % 9 == 1:
+                logging.info("ep %d %d/%d step %d loss %.4f acc %.4f lr %g",
+                             epoch, idx_graphs, n_train, glstep,
+                             loss_meter.avg, acc_meter.avg, lr)
+                writer.scalar("epoch", epoch, glstep)
+                writer.scalar("train/loss", loss_meter.avg, glstep)
+                writer.scalar("train/acc", acc_meter.avg, glstep)
+                writer.scalar("train/lr", lr, glstep)
+
+        if dp_step is not None:
+            # group same-bucket full graphs into dp batches
+            from ..parallel.dp import stack_graphs
+            by_bucket: dict = {}
+            singles = []
+            for gi in order:
+                pgs = batches_for(int(gi), rng_np)
+                if len(pgs) == 1:
+                    by_bucket.setdefault(pgs[0].bucket_key(), []).append(pgs[0])
+                else:
+                    singles.extend(pgs)
+            for bkey, group in by_bucket.items():
+                while len(group) >= dp_size:
+                    batch, group = group[:dp_size], group[dp_size:]
+                    key, sk = jax.random.split(key)
+                    glstep += 1
+                    params, opt_state, loss = dp_step(
+                        params, opt_state, stack_graphs(jax.device_get(batch)),
+                        sk, jnp.float32(lr))
+                    log_step(0, float(loss), 0.0)
+                singles.extend(group)
+            for pg in singles:
                 key, sk = jax.random.split(key)
                 glstep += 1
                 params, opt_state, loss, acc = train_step(
                     params, opt_state, pg, sk, jnp.float32(lr))
-                loss_v = float(loss)
-                assert not np.isnan(loss_v), "nan loss (reference train.py:126)"
-                loss_meter.update(loss_v)
-                acc_meter.update(float(acc))
-                if glstep % 9 == 1:
-                    logging.info("ep %d %d/%d step %d loss %.4f acc %.4f lr %g",
-                                 epoch, idx_graphs, n_train, glstep,
-                                 loss_meter.avg, acc_meter.avg, lr)
-                    writer.scalar("epoch", epoch, glstep)
-                    writer.scalar("train/loss", loss_meter.avg, glstep)
-                    writer.scalar("train/acc", acc_meter.avg, glstep)
-                    writer.scalar("train/lr", lr, glstep)
+                log_step(0, float(loss), float(acc))
+        else:
+            for idx_graphs, gi in enumerate(order):
+                for pg in batches_for(int(gi), rng_np):
+                    key, sk = jax.random.split(key)
+                    glstep += 1
+                    params, opt_state, loss, acc = train_step(
+                        params, opt_state, pg, sk, jnp.float32(lr))
+                    log_step(idx_graphs, float(loss), float(acc))
         # store the NEXT epoch to run so resume does not repeat this one
         save_ckpt(ckpt_path, params, opt_state, epoch + 1,
                   extra={"arch": cfg.arch, "loss": cfg.loss})

@@ -119,3 +119,15 @@ def test_control_baselines(tiny_cfg):
     from lp_gnn_tpu.reporting.extract import extract_time
     iters, tm = extract_time(logs[0])
     assert iters >= 0 and tm is not None
+
+
+def test_train_with_dp_mesh(tiny_cfg):
+    """--mesh_shape dp=2 trains via the data-parallel step on the virtual
+    mesh (graphs share one bucket in this family)."""
+    import dataclasses
+    from lp_gnn_tpu.train.trainer import run_exp
+    cfg = dataclasses.replace(tiny_cfg, mesh_shape="dp=2", epochs=3,
+                              exp_nm="t-dp")
+    cfg.finalize()
+    ckpt = run_exp(cfg)
+    assert osp.exists(ckpt)
