@@ -422,16 +422,10 @@ struct Solver {
         for (int k = 0; k < m; ++k) x[basic[k]] -= t * dirq * w[k];
         x[q] += t * dirq;
       }
-      if (rleave < 0 || (limit <= t_max + 1e-12 && limit < INF &&
-                         std::fabs(limit - t) < 1e-12 && rleave < 0)) {
-        // bound flip
-        vstat[q] = (vstat[q] == LL) ? UL : LL;
-        x[q] = status_value(q);
-        stall = 0;
-        continue;
-      }
-      if (limit < t_max) {
-        // flip happens strictly before any basic hits a bound
+      // bound flip when the entering variable reaches its opposite bound
+      // before any basic variable blocks (or no basic blocks at all)
+      if (limit < t_max || rleave < 0) {
+        if (limit == INF) return NUMFAIL;  // defensive: nothing blocked
         vstat[q] = (vstat[q] == LL) ? UL : LL;
         x[q] = status_value(q);
         stall = 0;
