@@ -46,7 +46,9 @@ from ..data.batching import PaddedGraph, _round_up
 from ..models.layers import linear_apply, add_knowledge, dropout
 
 SHARD_FIELDS = ["row_r", "col_r", "val_r", "row_c", "col_c", "val_c",
-                "c_feas", "y_s", "cons_mask", "v_feas", "y_t", "vars_mask"]
+                "c_feas", "y_s", "cons_mask", "v_feas", "y_t", "vars_mask",
+                "blkr_src", "blkr_dst", "blkr_val", "blkr_out",
+                "blkc_src", "blkc_dst", "blkc_val", "blkc_out"]
 
 
 @partial(jax.tree_util.register_dataclass,
@@ -69,6 +71,18 @@ class PartitionedGraph:
     v_feas: np.ndarray     # (D, Ns, 8)
     y_t: np.ndarray        # (D, Ns)
     vars_mask: np.ndarray  # (D, Ns)
+    # per-shard chunked block layouts for the MXU SpMM path
+    # (data/batching.py block_layout semantics, chunk counts padded equal
+    # across shards): blkr = dst local cons rows / src global vars;
+    # blkc = dst global vars / src local cons rows
+    blkr_src: np.ndarray | None = None   # (D, B1, K)
+    blkr_dst: np.ndarray | None = None
+    blkr_val: np.ndarray | None = None
+    blkr_out: np.ndarray | None = None   # (D, B1)
+    blkc_src: np.ndarray | None = None   # (D, B2, K)
+    blkc_dst: np.ndarray | None = None
+    blkc_val: np.ndarray | None = None
+    blkc_out: np.ndarray | None = None
     n_shards: int = 1
 
     @property
@@ -88,8 +102,10 @@ def partition_graph(pg: PaddedGraph, n_shards: int) -> PartitionedGraph:
     """Host-side 1D row partition of a padded graph into ``n_shards``."""
     m_pad = pg.c_feas.shape[0]
     n_pad0 = pg.v_feas.shape[0]
-    ms = _round_up(m_pad, n_shards) // n_shards
-    ns = _round_up(n_pad0, n_shards) // n_shards
+    # per-shard sizes rounded to the 128-row MXU block so the blocked SpMM
+    # path applies shard-locally
+    ms = _round_up(-(-m_pad // n_shards), 128)
+    ns = _round_up(-(-n_pad0 // n_shards), 128)
     n_pad = ns * n_shards
     row = np.asarray(pg.row_r)
     col = np.asarray(pg.col_r)
@@ -129,6 +145,38 @@ def partition_graph(pg: PaddedGraph, n_shards: int) -> PartitionedGraph:
         rr, cc, vv = pack(r[o2], c[o2], v[o2], lo)
         R_c.append(rr), C_c.append(cc), V_c.append(vv)
 
+    # per-shard blocked layouts (equalize chunk counts by padding with
+    # no-op chunks aimed at the last block)
+    from ..data.batching import block_layout
+
+    def stacked_blocks(shard_edges, num_dst, local_dst):
+        outs = []
+        for d, (r, c, v) in enumerate(shard_edges):
+            lo = d * ms
+            if local_dst:
+                dst, src = r - lo, c
+            else:
+                dst, src = c, r - lo
+            o = np.argsort(dst, kind="stable")
+            outs.append(block_layout(dst[o], src[o].astype(np.int32),
+                                     v[o].astype(np.float32), num_dst))
+        bmax = max(o[0].shape[0] for o in outs)
+        nblk = outs[0][4]
+        K = outs[0][0].shape[1]
+
+        def padb(a, fill):
+            out = np.full((bmax,) + a.shape[1:], fill, dtype=a.dtype)
+            out[: a.shape[0]] = a
+            return out
+
+        return (np.stack([padb(o[0], 0) for o in outs]),
+                np.stack([padb(o[1], 127) for o in outs]),
+                np.stack([padb(o[2], 0.0) for o in outs]),
+                np.stack([padb(o[3], nblk - 1) for o in outs]))
+
+    blkr = stacked_blocks(shards, ms, local_dst=True)
+    blkc = stacked_blocks(shards, n_pad, local_dst=False)
+
     return PartitionedGraph(
         row_r=np.stack(R_r), col_r=np.stack(C_r), val_r=np.stack(V_r),
         row_c=np.stack(R_c), col_c=np.stack(C_c), val_c=np.stack(V_c),
@@ -138,26 +186,47 @@ def partition_graph(pg: PaddedGraph, n_shards: int) -> PartitionedGraph:
         v_feas=shard_nodes(np.asarray(pg.v_feas), ns),
         y_t=shard_nodes(np.asarray(pg.y_t), ns),
         vars_mask=shard_nodes(np.asarray(pg.vars_mask), ns, fill=False),
+        blkr_src=blkr[0], blkr_dst=blkr[1], blkr_val=blkr[2], blkr_out=blkr[3],
+        blkc_src=blkc[0], blkc_dst=blkc[1], blkc_val=blkc[2], blkc_out=blkc[3],
         n_shards=n_shards,
     )
 
 
 # ----------------------------------------------------------- per-shard kernels
 def _dist_bidir_conv(p, shard, left_local, right_local, ms, n_pad, ax):
-    """Distributed GraphConvTwoDirection (models/layers.py semantics)."""
+    """Distributed GraphConvTwoDirection (models/layers.py semantics).
+
+    Uses the chunked MXU blocked SpMM (ops/spmm.py) shard-locally when the
+    partition carries block layouts, else sorted segment-sums."""
+    from ..ops.spmm import blocked_spmm
     right_full = jax.lax.all_gather(right_local, ax, axis=0, tiled=True)
+    use_blocked = shard.get("blkr_src") is not None
     # cons <- vars: purely local rows
-    msg = right_full[shard["col_r"]] * shard["val_r"][:, None].astype(
-        right_full.dtype)
-    agg_c = jax.ops.segment_sum(msg, shard["row_r"], num_segments=ms,
-                                indices_are_sorted=True)
+    if use_blocked:
+        tr = (shard["blkc_src"], shard["blkc_dst"], shard["blkc_val"],
+              shard["blkc_out"])
+        agg_c = blocked_spmm(shard["blkr_src"], shard["blkr_dst"],
+                             shard["blkr_val"], shard["blkr_out"],
+                             right_full, tr, ms // 128)[:ms]
+    else:
+        msg = right_full[shard["col_r"]] * shard["val_r"][:, None].astype(
+            right_full.dtype)
+        agg_c = jax.ops.segment_sum(msg, shard["row_r"], num_segments=ms,
+                                    indices_are_sorted=True)
     left_new = linear_apply(p["r2l"]["rel"], agg_c) + \
         linear_apply(p["r2l"]["root"], left_local)
     # vars <- cons: partial sums over the full var axis, then reduce-scatter
-    msg2 = left_local[shard["row_c"]] * shard["val_c"][:, None].astype(
-        left_local.dtype)
-    part = jax.ops.segment_sum(msg2, shard["col_c"], num_segments=n_pad,
-                               indices_are_sorted=True)
+    if use_blocked:
+        tr = (shard["blkr_src"], shard["blkr_dst"], shard["blkr_val"],
+              shard["blkr_out"])
+        part = blocked_spmm(shard["blkc_src"], shard["blkc_dst"],
+                            shard["blkc_val"], shard["blkc_out"],
+                            left_local, tr, n_pad // 128)[:n_pad]
+    else:
+        msg2 = left_local[shard["row_c"]] * shard["val_c"][:, None].astype(
+            left_local.dtype)
+        part = jax.ops.segment_sum(msg2, shard["col_c"], num_segments=n_pad,
+                                   indices_are_sorted=True)
     agg_v = jax.lax.psum_scatter(part, ax, scatter_dimension=0, tiled=True)
     right_new = linear_apply(p["l2r"]["rel"], agg_v) + \
         linear_apply(p["l2r"]["root"], right_local)
