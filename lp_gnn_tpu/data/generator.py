@@ -206,11 +206,57 @@ def gen_packing(rs, rd, m: int = 40, n: int = 80, density: float = 0.2) -> LPDat
                   name="packing")
 
 
+def gen_stoch(rs, rd, n_first: int = 10, n_scen: int = 8,
+              m_scen: int = 12) -> LPData:
+    """Two-stage stochastic LP (block-angular), the analog of the
+    reference's stoch-sc/el datasets (utils.py:862-865; val.py:211-213
+    treats 'stoch' constraint labels specially).
+
+    min c.x + sum_s p_s q.y_s ; per scenario: A1 x + W y_s >= d_s ;
+    0 <= x <= u, y_s >= 0.
+    """
+    n1 = n_first
+    ny = m_scen           # one recourse var per scenario row (W = I)
+    n = n1 + n_scen * ny
+    m = n_scen * m_scen
+    A1_mask = rs.rand(m_scen, n1) < 0.4
+    for i in range(m_scen):
+        if not A1_mask[i].any():
+            A1_mask[i, rs.randint(n1)] = True
+    A1_vals = rs.rand(int(A1_mask.sum())) * 2 + 0.5   # structure-fixed
+    rows, cols, vals = [], [], []
+    k = 0
+    r_, c_ = np.nonzero(A1_mask)
+    for s in range(n_scen):
+        base = s * m_scen
+        for rr, cc, vv in zip(r_, c_, A1_vals):
+            rows.append(base + rr)
+            cols.append(cc)
+            vals.append(vv)
+        for i in range(m_scen):
+            rows.append(base + i)
+            cols.append(n1 + s * ny + i)
+            vals.append(1.0)
+    del k
+    A = coo_matrix((vals, (rows, cols)), shape=(m, n)).tocsr()
+    d = rd.rand(m) * 8 + 2
+    c = np.concatenate([rd.rand(n1) * 5 + 1,
+                        np.tile(rd.rand(ny) * 20 + 10, n_scen) / n_scen])
+    lb = np.zeros(n)
+    ub = np.full(n, np.inf)
+    ub[:n1] = rs.rand(n1) * 20 + 5
+    return LPData(c=c, b_l=d, A=A, b_u=np.full(m, np.inf),
+                  lb=lb, ub=ub,
+                  con_nms=_names("R", m), var_nms=_names("X", n),
+                  name="stoch")
+
+
 GENERATORS = {
     "mirp_like": gen_mirp_like,
     "transport": gen_transport,
     "netflow": gen_netflow,
     "packing": gen_packing,
+    "stoch": gen_stoch,
 }
 
 
