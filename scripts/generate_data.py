@@ -38,6 +38,11 @@ SIZES = {
         "demo": dict(m=200, n=400),
         "bench": dict(m=800, n=1600),
     },
+    "stoch": {
+        "small": dict(n_first=6, n_scen=4, m_scen=8),
+        "demo": dict(n_first=30, n_scen=25, m_scen=40),
+        "bench": dict(n_first=60, n_scen=60, m_scen=60),
+    },
 }
 
 if __name__ == "__main__":
