@@ -131,3 +131,16 @@ def test_train_with_dp_mesh(tiny_cfg):
     cfg.finalize()
     ckpt = run_exp(cfg)
     assert osp.exists(ckpt)
+
+
+def test_train_sampled_path(tiny_cfg):
+    """Training with edge_num_thresh=0 forces every graph through the
+    fanout-sampled subgraph batcher (the NeighborLoader replacement,
+    reference train.py:102-116)."""
+    import dataclasses
+    from lp_gnn_tpu.train.trainer import run_exp
+    cfg = dataclasses.replace(tiny_cfg, epochs=2, exp_nm="t-sampled",
+                              edge_num_thresh=0, batch_size=64)
+    cfg.finalize()
+    ckpt = run_exp(cfg)
+    assert osp.exists(ckpt)
