@@ -489,21 +489,26 @@ struct Solver {
     std::vector<double> rho(m), w(m);
     std::vector<std::pair<int, double>> colbuf;
     std::vector<double> alpha(N);
+    // dual devex reference weights (Forrest-Goldfarb approximation of
+    // ||B^-T e_i||^2): leaving row maximizes violation^2 / gamma_i
+    std::vector<double> gamma(m, 1.0);
     int stall = 0;
     bool bland = false;
     int res = OPTIMAL;
     for (;;) {
       if (niter >= max_iter) { res = ITERLIMIT; break; }
-      // leaving: largest primal violation
+      // leaving: largest devex-weighted primal violation
       int rlv = -1;
-      double best = FEAS_TOL;
+      double best = 0.0;
       int sgn = 0;  // +1 below lower, -1 above upper
       for (int k = 0; k < m; ++k) {
         int j = basic[k];
         double v1 = lo[j] - x[j];
         double v2 = x[j] - hi[j];
-        if (v1 > best) { best = v1; rlv = k; sgn = +1; }
-        if (v2 > best) { best = v2; rlv = k; sgn = -1; }
+        double v = v1 > v2 ? v1 : v2;
+        if (v <= FEAS_TOL) continue;
+        double score = v * v / gamma[k];
+        if (score > best) { best = score; rlv = k; sgn = v1 > v2 ? +1 : -1; }
       }
       if (rlv < 0) { res = OPTIMAL; break; }
       // rho = B^-T e_r ; alpha_j = rho . W_j
@@ -571,6 +576,17 @@ struct Solver {
       basic[rlv] = q;
       pos_in_basis[q] = rlv;
       vstat[q] = BASIC;
+      // devex weight update from the FTRAN column
+      {
+        double wr2 = w[rlv] * w[rlv];
+        double gr = gamma[rlv];
+        for (int k = 0; k < m; ++k) {
+          if (k == rlv || std::fabs(w[k]) < ZERO_TOL) continue;
+          double cand = (w[k] * w[k] / wr2) * gr;
+          if (cand > gamma[k]) gamma[k] = cand;
+        }
+        gamma[rlv] = std::max(gr / wr2, 1.0);
+      }
       push_eta(rlv, w);
       if (std::fabs(t) <= 1e-12) {
         if (++stall > 400) bland = true;
