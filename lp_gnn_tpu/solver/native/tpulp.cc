@@ -109,15 +109,15 @@ struct Solver {
     touched.reserve(64);
     std::vector<char> mark(M, 0);
     std::vector<std::pair<int, double>> colbuf;
-    for (int attempt = 0;; ++attempt) {
-      if (attempt > m + 4) return -1;
-      Lcols.assign(M, {});
-      Ucols.assign(M, {});
-      Udiag.assign(M, 0.0);
-      pivrow.assign(M, -1);
-      rowpos.assign(M, -1);
-      bool repaired = false;
-      for (int k = 0; k < M && !repaired; ++k) {
+    Lcols.assign(M, {});
+    Ucols.assign(M, {});
+    Udiag.assign(M, 0.0);
+    pivrow.assign(M, -1);
+    rowpos.assign(M, -1);
+    for (int k = 0; k < M; ++k) {
+      int col_attempts = 0;
+      for (;;) {
+        if (++col_attempts > M + 2) return -1;
         // scatter basis column k
         col_of(basic[k], colbuf);
         touched.clear();
@@ -147,7 +147,8 @@ struct Solver {
           if (v > best) { best = v; prow_k = r; }
         }
         if (best < PIVOT_TOL) {
-          // dependent column: swap in a nonbasic logical of an unpivoted row
+          // dependent column: swap in a nonbasic logical of an unpivoted
+          // row and redo only this column (earlier L/U is unaffected)
           int logical = -1;
           for (int r : touched)
             if (rowpos[r] < 0 && pos_in_basis[n + r] < 0) { logical = n + r; break; }
@@ -165,8 +166,7 @@ struct Solver {
           pos_in_basis[logical] = k;
           vstat[logical] = BASIC;
           if (counting) ++nrepair;
-          repaired = true;
-          break;
+          continue;   // redo column k with the logical
         }
         // record U (pivoted rows) and L (unpivoted rows, scaled)
         double piv = w[prow_k];
@@ -186,13 +186,12 @@ struct Solver {
         Udiag[k] = piv;
         pivrow[k] = prow_k;
         rowpos[prow_k] = k;
-      }
-      if (!repaired) {
-        etas.clear();
-        fact_time += ck.secs();
-        return 0;
+        break;
       }
     }
+    etas.clear();
+    fact_time += ck.secs();
+    return 0;
   }
 
   int nearest_bound_status(int j) const {
