@@ -74,9 +74,10 @@ def gen_mirp_like(rs, rd, n_ports: int = 6, n_periods: int = 10,
     """Multi-period inventory + shipping LP (mirp-style structure).
 
     Variables: inventory I_{p,t} (bounded storage), shipments x_{a,t}
-    (capacitated arcs with travel time), spot purchases z_{p,t} (penalized).
-    Rows: inventory balance equalities per (port, period), plus per-period
-    fleet capacity rows (<=).
+    (capacitated arcs with travel time), spot purchases z_{p,t} and disposal
+    w_{p,t} (both penalized — z covers shortfalls, w drains overflow so
+    every instance is feasible). Rows: inventory balance equalities per
+    (port, period), plus per-period fleet capacity rows (<=).
     """
     P, T = n_ports, n_periods
     arcs = [(p, q) for p in range(P) for q in range(P)
@@ -95,7 +96,8 @@ def gen_mirp_like(rs, rd, n_ports: int = 6, n_periods: int = 10,
     fleet_cap = A_ * (rs.rand() * 3 + 2)       # structure
 
     nI, nX, nZ = P * T, A_ * T, P * T
-    n = nI + nX + nZ
+    nW = P * T
+    n = nI + nX + nZ + nW
 
     def vI(p, t):
         return p * T + t
@@ -105,6 +107,9 @@ def gen_mirp_like(rs, rd, n_ports: int = 6, n_periods: int = 10,
 
     def vZ(p, t):
         return nI + nX + p * T + t
+
+    def vW(p, t):
+        return nI + nX + nZ + p * T + t
 
     m = P * T + T
 
@@ -121,9 +126,9 @@ def gen_mirp_like(rs, rd, n_ports: int = 6, n_periods: int = 10,
     for p in range(P):
         for t in range(T):
             i = rB(p, t)
-            rows += [i, i]
-            cols += [vI(p, t), vZ(p, t)]
-            vals += [1.0, -1.0]
+            rows += [i, i, i]
+            cols += [vI(p, t), vZ(p, t), vW(p, t)]
+            vals += [1.0, -1.0, 1.0]
             if t > 0:
                 rows.append(i)
                 cols.append(vI(p, t - 1))
@@ -158,7 +163,8 @@ def gen_mirp_like(rs, rd, n_ports: int = 6, n_periods: int = 10,
     c = np.zeros(n)
     c[:nI] = 0.1 + 0.2 * rd.rand(nI)                       # holding cost
     c[nI:nI + nX] = np.repeat(rd.rand(A_) * 3 + 1, T)      # shipping cost
-    c[nI + nX:] = 50.0 + 10 * rd.rand(nZ)                  # spot penalty
+    c[nI + nX:nI + nX + nZ] = 50.0 + 10 * rd.rand(nZ)      # spot penalty
+    c[nI + nX + nZ:] = 40.0 + 10 * rd.rand(nW)             # disposal penalty
     return LPData(c=c, b_l=b_l, A=A, b_u=b_u, lb=lb, ub=ub,
                   con_nms=_names("R", m), var_nms=_names("X", n),
                   name="mirp_like")

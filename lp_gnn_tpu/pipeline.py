@@ -126,6 +126,14 @@ def _cvt_one(mps: str, cfg: Config) -> None:
     if not osp.exists(bas_fn):
         logging.error("no basis for %s — skipped", nm)
         return
+    # labels only from instances the cold solve actually optimized
+    # (an Infeasible/limit run's basis is not a training target)
+    cold_log = f"{path}/log/{cfg.solver_prefix}no-bas{sfx}/{nm}.log"
+    if osp.exists(cold_log):
+        iters, _tm = extract_time(cold_log)
+        if iters < 0:
+            logging.error("cold solve of %s not Optimal — skipped", nm)
+            return
     lp = read_mps(mps)
     b_u = lp.b_u.copy()
     b_l = lp.b_l.copy()

@@ -455,33 +455,27 @@ struct Solver {
 
   // ------------------------------------------------------------------ dual
   int dual() {
-    // restore dual feasibility: flips for boxed, artificial bounds else
+    // Dual phase 1 by COST SHIFTING: every dual-infeasible nonbasic gets its
+    // cost shifted so its reduced cost becomes 0 (the feasible region is
+    // untouched, so INFEASIBLE verdicts stay valid and the warm-start point
+    // is preserved — unlike bound flipping, which teleports nonbasics to
+    // their opposite bound). After the shifted dual solve, costs are
+    // restored and a primal phase-2 cleanup finishes from the now
+    // primal-feasible basis.
     std::vector<double> y(m);
     for (int k = 0; k < m; ++k) y[k] = cost[basic[k]];
     btran(y);
-    bool artificial = false;
+    bool shifted = false;
+    std::vector<double> cost_orig;
     for (int j = 0; j < N; ++j) {
       if (vstat[j] == BASIC || lo[j] == hi[j]) continue;
       double d = reduced_cost(j, y, cost);
-      bool wants_low = d >= -DUAL_TOL;   // at lower requires d >= 0
-      if ((vstat[j] == LL || vstat[j] == FZ) && d < -DUAL_TOL) {
-        if (std::isfinite(hi[j])) {
-          vstat[j] = UL;
-        } else {
-          hi[j] = (std::isfinite(lo[j]) ? lo[j] : 0.0) + BIG_BND;
-          vstat[j] = UL;
-          artificial = true;
-        }
-      } else if ((vstat[j] == UL || vstat[j] == FZ) && d > DUAL_TOL) {
-        if (std::isfinite(lo[j])) {
-          vstat[j] = LL;
-        } else {
-          lo[j] = (std::isfinite(hi[j]) ? hi[j] : 0.0) - BIG_BND;
-          vstat[j] = LL;
-          artificial = true;
-        }
+      bool bad = ((vstat[j] == LL || vstat[j] == FZ) && d < -DUAL_TOL) ||
+                 ((vstat[j] == UL || vstat[j] == FZ) && d > DUAL_TOL);
+      if (bad) {
+        if (!shifted) { cost_orig = cost; shifted = true; }
+        cost[j] -= d;
       }
-      (void)wants_low;
     }
     compute_xb();
 
@@ -595,29 +589,12 @@ struct Solver {
         compute_xb();
       }
     }
-    // Remove artificial bounds unconditionally: any verdict other than
-    // OPTIMAL reached *under* artificial bounds concerns a modified LP and
-    // must not leak (a dual INFEASIBLE there may be feasible originally;
-    // a NUMFAIL fallback must not optimize the clipped problem).
-    if (artificial) {
-      bool active = false;
-      for (int j = 0; j < N; ++j) {
-        bool was_art_lo = lo[j] != lo_orig[j];
-        bool was_art_hi = hi[j] != hi_orig[j];
-        lo[j] = lo_orig[j];
-        hi[j] = hi_orig[j];
-        if ((was_art_lo && vstat[j] == LL) ||
-            (was_art_hi && vstat[j] == UL)) {
-          // nonbasic at an artificial bound: snap to a real bound (or free
-          // at zero) and let the primal cleanup re-optimize
-          active = true;
-          vstat[j] = nearest_bound_status(j);
-          x[j] = status_value(j);
-        }
-      }
-      if ((res == OPTIMAL && active) || res == INFEASIBLE || res == NUMFAIL) {
-        if (factorize(false) != 0) return NUMFAIL;
-        compute_xb();
+    // Restore shifted costs; a cost shift never changes the feasible
+    // region, so INFEASIBLE stands. An OPTIMAL shifted solve leaves a
+    // primal-feasible basis: finish with primal phase 2 on the true costs.
+    if (shifted) {
+      cost = cost_orig;
+      if (res == OPTIMAL || res == NUMFAIL) {
         res = primal(true);
       }
     }
