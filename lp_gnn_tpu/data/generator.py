@@ -171,11 +171,14 @@ def gen_mirp_like(rs, rd, n_ports: int = 6, n_periods: int = 10,
 
 
 def gen_netflow(rs, rd, n_nodes: int = 40, density: float = 0.15) -> LPData:
-    """Min-cost flow with supplies/demands and arc capacities."""
+    """Min-cost flow with supplies/demands, arc capacities, and heavily
+    penalized per-node surplus/deficit slacks (so sparse or disconnected
+    networks stay feasible)."""
     N = n_nodes
     arcs = [(i, j) for i in range(N) for j in range(N)
             if i != j and rs.rand() < density]
-    n = len(arcs)
+    na = len(arcs)
+    n = na + 2 * N      # arcs + (surplus, deficit) per node
     supply = rd.randn(N) * 5
     supply -= supply.mean()
     rows, cols, vals = [], [], []
@@ -183,9 +186,14 @@ def gen_netflow(rs, rd, n_nodes: int = 40, density: float = 0.15) -> LPData:
         rows += [i, j]
         cols += [a, a]
         vals += [1.0, -1.0]
+    for i in range(N):
+        rows += [i, i]
+        cols += [na + i, na + N + i]
+        vals += [1.0, -1.0]
     A = coo_matrix((vals, (rows, cols)), shape=(N, n)).tocsr()
-    c = rd.rand(n) * 10 + 0.5
-    ub = rs.rand(n) * 20 + 5
+    c = np.concatenate([rd.rand(na) * 10 + 0.5,
+                        np.full(2 * N, 500.0 + 100 * rd.rand())])
+    ub = np.concatenate([rs.rand(na) * 20 + 5, np.full(2 * N, np.inf)])
     return LPData(c=c, b_l=supply.copy(), A=A, b_u=supply.copy(),
                   lb=np.zeros(n), ub=ub,
                   con_nms=_names("R", N), var_nms=_names("X", n),
