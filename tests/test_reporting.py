@@ -1,0 +1,73 @@
+"""Log-parser and aggregation tests (reference utils.py:571-660,
+scripts/extract_time.py)."""
+import numpy as np
+import pandas as pd
+
+from lp_gnn_tpu.reporting.extract import (
+    extract_time, extract_nrepair, extract_fact_time, map_back_to_baseline,
+    collect_results, summarize,
+)
+from lp_gnn_tpu.utils.serialize import df_dump
+
+
+GOOD_LOG = """Running HiGHS 1.8.0 (vendored): framework solver bridge
+Model   status      : Optimal
+Simplex   iterations: 1234
+Objective value     :  1.0e+00
+HiGHS run time      :          0.57
+"""
+
+NATIVE_LOG = """Running tpulp native simplex (HiGHS-compatible log)
+Rank_deficiency 7
+time elapsed for factorize: 0.004200
+Model   status      : Optimal
+Simplex   iterations: 99
+Objective value     :  2.0e+00
+HiGHS run time      :          0.10
+"""
+
+
+def test_extract_time_codes(tmp_path):
+    assert extract_time(GOOD_LOG) == (1234, 0.57)
+    bad = GOOD_LOG.replace("Optimal", "Infeasible")
+    assert extract_time(bad) == (-1, -1)
+    assert extract_time("no structure here\n") == (-2, -2)
+    assert extract_time("unable open file x\n") == (-3, -3)
+
+
+def test_extract_native_lines():
+    assert extract_fact_time(NATIVE_LOG) == 0.0042
+    _, _, n_add = extract_nrepair(NATIVE_LOG)
+    assert n_add == 7
+
+
+def test_map_back_to_baseline():
+    assert map_back_to_baseline("gnn-bas-0") == "highs-no-bas"
+    assert map_back_to_baseline("highs-ca-bas") == "highs-no-bas"
+    assert map_back_to_baseline("highs-ca-bas-m4") == "highs-no-bas-m4"
+    assert map_back_to_baseline("highs-no-bas") == ""
+
+
+def test_collect_and_summarize(tmp_path):
+    log_dir = tmp_path / "run"
+    for method, text in [("highs-no-bas", GOOD_LOG),
+                         ("gnn-bas-0", NATIVE_LOG)]:
+        d = log_dir / "log" / method
+        d.mkdir(parents=True)
+        (d / "lp0.log").write_text(text)
+    # pred-basis needed by extract_nrepair's starting-composition lookup
+    pb = log_dir / "pred-basis"
+    pb.mkdir()
+    (pb / "lp0.bas").write_text("HiGHS v1\nValid\n# Columns 2\n1 0\n# Rows 2\n0 1\n")
+    df = pd.DataFrame({"fn": ["lp0"], "split": ["val"]})
+    h5 = str(tmp_path / "time.h5")
+    df_dump(df, h5)
+    out = collect_results(str(log_dir), h5)
+    row = out[out.fn == "lp0"].iloc[0]
+    assert row["highs-no-bas/niter"] == 1234
+    assert row["gnn-bas-0/niter"] == 99
+    assert np.isclose(row["gnn-bas-0/impr_niter"], (1234 - 99) / 1234)
+    assert np.isclose(row["gnn-bas-0/fact_time"], 0.0042)
+    assert np.isclose(row["gnn-bas-0/repair_p"], 7 / 2)
+    s = summarize(out)
+    assert ("gnn-bas-0/niter" in s.index.get_level_values(0))
