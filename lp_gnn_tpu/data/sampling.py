@@ -42,23 +42,35 @@ class _BipartiteCSR:
         self.v2c_eid = order_c
 
 
+def _take_all(ptr, nodes):
+    """Vectorized CSR multi-range expansion: all slot indices of ``nodes``."""
+    starts = ptr[nodes]
+    counts = ptr[nodes + 1] - starts
+    total = int(counts.sum())
+    if total == 0:
+        return np.empty(0, np.int64)
+    csum = np.zeros(len(nodes), np.int64)
+    np.cumsum(counts[:-1], out=csum[1:])
+    return np.repeat(starts - csum, counts) + np.arange(total)
+
+
 def _sample_neighbors(ptr, idx, eid, nodes, k, rng):
     """For each node, up to k sampled (neighbor, edge-id) pairs; k<0 = all."""
-    outs_n, outs_e = [], []
-    for u in nodes:
-        s, e = ptr[u], ptr[u + 1]
-        deg = e - s
-        if deg == 0:
-            continue
-        if k < 0 or deg <= k:
-            sel = np.arange(s, e)
-        else:
-            sel = s + rng.choice(deg, size=k, replace=False)
-        outs_n.append(idx[sel])
-        outs_e.append(eid[sel])
-    if not outs_n:
+    nodes = np.asarray(nodes, dtype=np.int64)
+    if len(nodes) == 0:
         return np.empty(0, np.int64), np.empty(0, np.int64)
-    return np.concatenate(outs_n), np.concatenate(outs_e)
+    if k < 0:
+        sel = _take_all(ptr, nodes)
+        return idx[sel], eid[sel]
+    degs = ptr[nodes + 1] - ptr[nodes]
+    small = nodes[degs <= k]
+    big = nodes[degs > k]
+    sels = [_take_all(ptr, small)]
+    for u in big:     # only high-degree nodes need per-node sampling
+        s = ptr[u]
+        sels.append(s + rng.choice(int(ptr[u + 1] - s), size=k, replace=False))
+    sel = np.concatenate(sels)
+    return idx[sel], eid[sel]
 
 
 def sample_one_batch(g: BipartiteGraph, adj: _BipartiteCSR,
