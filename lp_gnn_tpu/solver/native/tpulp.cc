@@ -511,10 +511,12 @@ struct Solver {
       // duals y for reduced costs
       for (int k = 0; k < m; ++k) y[k] = cost[basic[k]];
       btran(y);
-      // dual ratio test
-      int q = -1;
-      double tbest = INF;
-      double bestpiv = 0.0;
+      // dual ratio test with bound flipping (BFRT): walk the eligible
+      // breakpoints in ratio order; while the improvement slope stays
+      // positive past a BOXED candidate, flip it instead of pivoting on it.
+      struct Cand { double ratio, absa; int j; double range; };
+      std::vector<Cand> cands;
+      cands.reserve(64);
       for (int j = 0; j < N; ++j) {
         if (vstat[j] == BASIC || lo[j] == hi[j]) continue;
         // alpha_j = rho . W_j
@@ -536,15 +538,58 @@ struct Solver {
         if (!elig) continue;
         double d = reduced_cost(j, y, cost);
         double ratio = std::fabs(d) / std::fabs(aj);
-        if (bland) { if (q < 0) { q = j; tbest = ratio; } continue; }
-        if (ratio < tbest - 1e-12 ||
-            (ratio < tbest + 1e-9 && std::fabs(aj) > bestpiv)) {
-          tbest = ratio;
-          bestpiv = std::fabs(aj);
-          q = j;
+        double range = (vstat[j] != FZ && std::isfinite(lo[j]) &&
+                        std::isfinite(hi[j])) ? hi[j] - lo[j] : INF;
+        cands.push_back({ratio, std::fabs(aj), j, range});
+      }
+      if (cands.empty()) { res = INFEASIBLE; break; }   // primal infeasible
+      int q = -1;
+      std::vector<int> flips;
+      if (bland) {
+        int jmin = cands[0].j;
+        for (auto& cd : cands) jmin = std::min(jmin, cd.j);
+        q = jmin;
+      } else {
+        std::sort(cands.begin(), cands.end(),
+                  [](const Cand& a, const Cand& b) { return a.ratio < b.ratio; });
+        // `best` held violation^2/gamma for the chosen row: recover |viol|
+        double slope = std::sqrt(best * gamma[rlv]);
+        for (size_t ci = 0; ci < cands.size(); ++ci) {
+          const Cand& cd = cands[ci];
+          double drop = std::isfinite(cd.range) ? cd.absa * cd.range : INF;
+          bool last_group = ci + 1 == cands.size();
+          if (drop >= slope || last_group) {
+            // pivoting here keeps the dual step profitable
+            // prefer the largest pivot among near-equal ratios
+            q = cd.j;
+            double bestpiv = cd.absa;
+            for (size_t cj = ci + 1; cj < cands.size() &&
+                 cands[cj].ratio < cd.ratio + 1e-9; ++cj) {
+              if (cands[cj].absa > bestpiv) { bestpiv = cands[cj].absa; q = cands[cj].j; }
+            }
+            break;
+          }
+          slope -= drop;
+          flips.push_back(cd.j);
         }
       }
-      if (q < 0) { res = INFEASIBLE; break; }   // primal infeasible
+      // apply bound flips: x of each flipped var jumps to its other bound;
+      // basics absorb the combined column delta via one FTRAN
+      if (!flips.empty()) {
+        std::fill(w.begin(), w.end(), 0.0);
+        bool any = false;
+        for (int j : flips) {
+          double delta = (vstat[j] == LL) ? (hi[j] - lo[j]) : (lo[j] - hi[j]);
+          vstat[j] = (vstat[j] == LL) ? UL : LL;
+          x[j] = status_value(j);
+          col_of(j, colbuf);
+          for (auto& e2 : colbuf) { w[e2.first] += e2.second * delta; any = true; }
+        }
+        if (any) {
+          ftran(w);
+          for (int k = 0; k < m; ++k) x[basic[k]] -= w[k];
+        }
+      }
       // pivot: q enters, basic[rlv] leaves to its violated bound
       col_of(q, colbuf);
       std::fill(w.begin(), w.end(), 0.0);
