@@ -143,3 +143,20 @@ def test_native_dual_artificial_bounds():
                                basis_in=(np.array([0]), np.array([1])))
     assert r.status == "Optimal"
     assert np.isclose(r.objective, -5.0)
+
+
+def test_native_bfrt_boxed_heavy():
+    """Boxed-variable-rich LP (packing: all vars in [0,1]) exercises the
+    bound-flipping ratio test; warm start from a partially-correct basis
+    must stay exact."""
+    lp = generate_instance("packing", seed=2, instance=0, m=60, n=120)
+    cold = native.solve_lp_native(lp, method=1)
+    h = solve_lp(lp, method=1)
+    assert np.isclose(cold.objective, h.objective, rtol=1e-7)
+    # corrupt 10% of the optimal basis
+    colb = cold.col_status.copy()
+    basic_idx = np.nonzero(colb == 1)[0]
+    colb[basic_idx[: max(len(basic_idx) // 10, 1)]] = 0
+    warm = native.solve_lp_native(lp, method=1, basis_in=(colb, cold.row_status))
+    assert warm.status == "Optimal"
+    assert np.isclose(warm.objective, cold.objective, rtol=1e-7)
