@@ -239,7 +239,6 @@ def gen_stoch(rs, rd, n_first: int = 10, n_scen: int = 8,
             A1_mask[i, rs.randint(n1)] = True
     A1_vals = rs.rand(int(A1_mask.sum())) * 2 + 0.5   # structure-fixed
     rows, cols, vals = [], [], []
-    k = 0
     r_, c_ = np.nonzero(A1_mask)
     for s in range(n_scen):
         base = s * m_scen
@@ -251,7 +250,6 @@ def gen_stoch(rs, rd, n_first: int = 10, n_scen: int = 8,
             rows.append(base + i)
             cols.append(n1 + s * ny + i)
             vals.append(1.0)
-    del k
     A = coo_matrix((vals, (rows, cols)), shape=(m, n)).tocsr()
     d = rd.rand(m) * 8 + 2
     c = np.concatenate([rd.rand(n1) * 5 + 1,

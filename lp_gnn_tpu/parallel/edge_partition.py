@@ -162,7 +162,6 @@ def partition_graph(pg: PaddedGraph, n_shards: int) -> PartitionedGraph:
                                      v[o].astype(np.float32), num_dst))
         bmax = max(o[0].shape[0] for o in outs)
         nblk = outs[0][4]
-        K = outs[0][0].shape[1]
 
         def padb(a, fill):
             out = np.full((bmax,) + a.shape[1:], fill, dtype=a.dtype)

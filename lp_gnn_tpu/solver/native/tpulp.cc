@@ -18,9 +18,9 @@
 // Algorithms:
 //  - primal: composite phase-1 (minimize infeasibility) + bounded phase-2
 //    with bound flips and a Harris-lite two-pass ratio test.
-//  - dual: bound-flip restoration of dual feasibility (boxed columns),
-//    artificial "big bound" for non-boxed dual-infeasible columns, simple
-//    dual ratio test; primal cleanup if artificial bounds remain active.
+//  - dual: devex pricing, a bound-flipping ratio test, and cost-shifting
+//    dual phase 1 (shift wrong-signed reduced costs to zero, solve, restore
+//    costs, primal phase-2 cleanup) — the feasible region is never altered.
 //
 // C API at the bottom (tpulp_solve) matches solver/native.py.
 
@@ -40,7 +40,6 @@ constexpr double FEAS_TOL = 1e-7;
 constexpr double DUAL_TOL = 1e-7;
 constexpr double PIVOT_TOL = 1e-8;
 constexpr double ZERO_TOL = 1e-12;
-constexpr double BIG_BND = 1e7;
 constexpr int REFRESH = 60;
 
 enum Status { LL = 0, BASIC = 1, UL = 2, FZ = 3 };
@@ -67,7 +66,6 @@ struct Solver {
   std::vector<int> Ap, Ai;
   std::vector<double> Ax;
   std::vector<double> cost, lo, hi;   // length N (phase-2 cost; logicals 0)
-  std::vector<double> lo_orig, hi_orig;  // before artificial bounds
   std::vector<int> basic;             // m basis variable indices
   std::vector<int> pos_in_basis;      // N: -1 or basis position
   std::vector<int> vstat;             // N
@@ -546,9 +544,13 @@ struct Solver {
       int q = -1;
       std::vector<int> flips;
       if (bland) {
-        int jmin = cands[0].j;
-        for (auto& cd : cands) jmin = std::min(jmin, cd.j);
-        q = jmin;
+        // minimum ratio, ties broken by minimum index (Bland)
+        const Cand* pick = &cands[0];
+        for (auto& cd : cands) {
+          if (cd.ratio < pick->ratio - 1e-12 ||
+              (cd.ratio < pick->ratio + 1e-12 && cd.j < pick->j)) pick = &cd;
+        }
+        q = pick->j;
       } else {
         std::sort(cands.begin(), cands.end(),
                   [](const Cand& a, const Cand& b) { return a.ratio < b.ratio; });
@@ -573,24 +575,9 @@ struct Solver {
           flips.push_back(cd.j);
         }
       }
-      // apply bound flips: x of each flipped var jumps to its other bound;
-      // basics absorb the combined column delta via one FTRAN
-      if (!flips.empty()) {
-        std::fill(w.begin(), w.end(), 0.0);
-        bool any = false;
-        for (int j : flips) {
-          double delta = (vstat[j] == LL) ? (hi[j] - lo[j]) : (lo[j] - hi[j]);
-          vstat[j] = (vstat[j] == LL) ? UL : LL;
-          x[j] = status_value(j);
-          col_of(j, colbuf);
-          for (auto& e2 : colbuf) { w[e2.first] += e2.second * delta; any = true; }
-        }
-        if (any) {
-          ftran(w);
-          for (int k = 0; k < m; ++k) x[basic[k]] -= w[k];
-        }
-      }
-      // pivot: q enters, basic[rlv] leaves to its violated bound
+      // pivot column FTRAN first: the flips are only dual-consistent if the
+      // pivot actually moves the duals past their breakpoints, so defer
+      // committing them until the pivot element is known to be usable
       col_of(q, colbuf);
       std::fill(w.begin(), w.end(), 0.0);
       for (auto& e2 : colbuf) w[e2.first] = e2.second;
@@ -599,7 +586,21 @@ struct Solver {
         if (factorize(false) != 0) { res = NUMFAIL; break; }
         compute_xb();
         if (++stall > 50) { res = NUMFAIL; break; }
-        continue;
+        continue;   // flips NOT applied — statuses untouched
+      }
+      // apply bound flips: x of each flipped var jumps to its other bound;
+      // basics absorb the combined column delta via one FTRAN
+      if (!flips.empty()) {
+        std::vector<double> fw(m, 0.0);
+        for (int j : flips) {
+          double delta = (vstat[j] == LL) ? (hi[j] - lo[j]) : (lo[j] - hi[j]);
+          vstat[j] = (vstat[j] == LL) ? UL : LL;
+          x[j] = status_value(j);
+          col_of(j, colbuf);
+          for (auto& e2 : colbuf) fw[e2.first] += e2.second * delta;
+        }
+        ftran(fw);
+        for (int k = 0; k < m; ++k) x[basic[k]] -= fw[k];
       }
       ++niter;
       int jl = basic[rlv];
@@ -640,6 +641,10 @@ struct Solver {
     if (shifted) {
       cost = cost_orig;
       if (res == OPTIMAL || res == NUMFAIL) {
+        // a NUMFAIL may have left a corrupted factorization; rebuild before
+        // handing over to the primal cleanup
+        if (factorize(false) != 0) return NUMFAIL;
+        compute_xb();
         res = primal(true);
       }
     }
@@ -678,8 +683,6 @@ int tpulp_solve(int m, int n, long long nnz,
   S.hi.resize(S.N);
   for (int j = 0; j < n; ++j) { S.lo[j] = lb[j]; S.hi[j] = ub[j]; }
   for (int i = 0; i < m; ++i) { S.lo[n + i] = bl[i]; S.hi[n + i] = bu[i]; }
-  S.lo_orig = S.lo;
-  S.hi_orig = S.hi;
   S.x.assign(S.N, 0.0);
   S.vstat.assign(S.N, LL);
   S.pos_in_basis.assign(S.N, -1);
@@ -743,8 +746,12 @@ int tpulp_solve(int m, int n, long long nnz,
   } else {
     res = S.dual();
     if (res == NUMFAIL) {
-      // robust fallback
-      res = S.primal(true);
+      // robust fallback: rebuild the factorization first (a NUMFAIL may
+      // have left it corrupted)
+      if (S.factorize(false) == 0) {
+        S.compute_xb();
+        res = S.primal(true);
+      }
     }
   }
 

@@ -226,7 +226,8 @@ def run_exp(cfg: Config, dataset: LPDataset | None = None) -> str:
         def log_step(idx_graphs, loss_v, acc_v):
             assert not np.isnan(loss_v), "nan loss (reference train.py:126)"
             loss_meter.update(loss_v)
-            acc_meter.update(acc_v)
+            if acc_v is not None:   # dp steps report no per-step accuracy
+                acc_meter.update(acc_v)
             if glstep % 9 == 1:
                 logging.info("ep %d %d/%d step %d loss %.4f acc %.4f lr %g",
                              epoch, idx_graphs, n_train, glstep,
@@ -237,26 +238,37 @@ def run_exp(cfg: Config, dataset: LPDataset | None = None) -> str:
                 writer.scalar("train/lr", lr, glstep)
 
         if dp_step is not None:
-            # group same-bucket full graphs into dp batches
-            from ..parallel.dp import stack_graphs
-            by_bucket: dict = {}
-            singles = []
-            for gi in order:
-                pgs = batches_for(int(gi), rng_np)
-                if len(pgs) == 1:
-                    by_bucket.setdefault(pgs[0].bucket_key(), []).append(pgs[0])
-                else:
-                    singles.extend(pgs)
-            for bkey, group in by_bucket.items():
-                while len(group) >= dp_size:
-                    batch, group = group[:dp_size], group[dp_size:]
-                    key, sk = jax.random.split(key)
-                    glstep += 1
-                    params, opt_state, loss = dp_step(
-                        params, opt_state, stack_graphs(jax.device_get(batch)),
-                        sk, jnp.float32(lr))
-                    log_step(0, float(loss), 0.0)
-                singles.extend(group)
+            # Group stackable full graphs into dp batches. Grouping must use
+            # the full leaf-shape signature: the blocked-layout chunk count
+            # is data-dependent, so two graphs can share a bucket yet not be
+            # stackable. Stacked batches are built once (epoch 0) and cached;
+            # only the batch visit order is reshuffled per epoch.
+            if "dp_batches" not in padded_cache:
+                from ..parallel.dp import stack_graphs
+                by_sig: dict = {}
+                singles = []
+                for gi in np.arange(n_train):
+                    pgs = batches_for(int(gi), rng_np)
+                    pgs = [jax.device_get(p) for p in pgs]
+                    if len(pgs) == 1:
+                        sig = tuple(x.shape for x in jax.tree.leaves(pgs[0]))
+                        by_sig.setdefault(sig, []).append(pgs[0])
+                    else:
+                        singles.extend(pgs)
+                batches = []
+                for group in by_sig.values():
+                    while len(group) >= dp_size:
+                        batches.append(stack_graphs(group[:dp_size]))
+                        group = group[dp_size:]
+                    singles.extend(group)
+                padded_cache["dp_batches"] = (batches, singles)
+            batches, singles = padded_cache["dp_batches"]
+            for bi in rng_np.permutation(len(batches)):
+                key, sk = jax.random.split(key)
+                glstep += 1
+                params, opt_state, loss = dp_step(
+                    params, opt_state, batches[int(bi)], sk, jnp.float32(lr))
+                log_step(0, float(loss), None)
             for pg in singles:
                 key, sk = jax.random.split(key)
                 glstep += 1
