@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 import optax
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from .edge_partition import (
     SHARD_FIELDS, PartitionedGraph, partition_graph, dist_gcn_fc_apply,
@@ -73,7 +73,7 @@ def make_dp_edge_train_step(loss_name: str, optimizer, mesh: Mesh,
             body, mesh=mesh,
             in_specs=(P(), {f: P(dp_ax, edge_ax) for f in SHARD_FIELDS},
                       P(dp_ax), P()),
-            out_specs=(P(), P()), check_rep=False)
+            out_specs=(P(), P()), check_vma=False)
         loss, grads = fn(params, batch, rngs, lr)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         updates = jax.tree.map(lambda u: -lr * u, updates)

@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 import optax
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from ..data.batching import PaddedGraph
 from ..models.gcn import Model
@@ -50,7 +50,7 @@ def make_dp_train_step(model: Model, loss_name: str, optimizer, mesh: Mesh,
             return jax.lax.pmean(jnp.mean(losses), ax)
 
         loss, grads = jax.value_and_grad(mean_loss)(params)
-        # Under check_rep=False the pmean transpose (psum of 1/D) delivers
+        # Under check_vma=False the pmean transpose (psum of 1/D) delivers
         # cotangent 1 to each local mean, so the per-shard grad equals the
         # grad of the *local* mean loss; averaging across shards gives the
         # exact grad of the global mean.
@@ -63,7 +63,7 @@ def make_dp_train_step(model: Model, loss_name: str, optimizer, mesh: Mesh,
         rngs = jax.random.split(rng, nb)
         fn = shard_map(body, mesh=mesh,
                        in_specs=(P(), P(ax), P(ax), P()),
-                       out_specs=(P(), P()), check_rep=False)
+                       out_specs=(P(), P()), check_vma=False)
         loss, grads = fn(params, batch, rngs, lr)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         updates = jax.tree.map(lambda u: -lr * u, updates)

@@ -40,7 +40,7 @@ import jax
 import jax.numpy as jnp
 import optax
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from ..data.batching import PaddedGraph, _round_up
 from ..models.layers import linear_apply, add_knowledge, dropout
@@ -323,7 +323,7 @@ def dist_apply(params, dg: PartitionedGraph, mesh: Mesh, ax: str = "edge",
 
     fn = shard_map(body, mesh=mesh,
                    in_specs=(P(), {f: P(ax) for f in SHARD_FIELDS}),
-                   out_specs=(P(ax), P(ax)), check_rep=False)
+                   out_specs=(P(ax), P(ax)), check_vma=False)
     lc, lv = fn(params, _data_dict(dg))
     return lc.reshape(-1, 3), lv.reshape(-1, 3)
 
@@ -343,7 +343,7 @@ def make_dist_train_step(loss_name: str, optimizer, mesh: Mesh,
                                        dp_rate, train=True, rng=rng)
             loss = dist_loss(lc, lv, shard["y_s"], shard["y_t"],
                              shard["cons_mask"], shard["vars_mask"], ax)
-            # Under check_rep=False the transpose of a plain psum is another
+            # Under check_vma=False the transpose of a plain psum is another
             # psum, which inflates the cotangent by D for the loss-reduction
             # psums (every shard re-computes the same replicated scalar).
             # Scaling the per-shard loss by 1/D cancels that inflation
@@ -360,7 +360,7 @@ def make_dist_train_step(loss_name: str, optimizer, mesh: Mesh,
         fn = shard_map(partial(body, n_shards=dg.n_shards), mesh=mesh,
                        in_specs=(P(), {f: P(ax) for f in SHARD_FIELDS},
                                  P(), P()),
-                       out_specs=(P(), P()), check_rep=False)
+                       out_specs=(P(), P()), check_vma=False)
         loss, grads = fn(params, _data_dict(dg), rng, lr)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         updates = jax.tree.map(lambda u: -lr * u, updates)
