@@ -263,20 +263,87 @@ def gen_stoch(rs, rd, n_first: int = 10, n_scen: int = 8,
                   name="stoch")
 
 
+def gen_svm(rs, rd, m_samples: int = 60, n_features: int = 20,
+            density: float = 0.5, C: float = 0.1) -> LPData:
+    """L1-regularized soft-margin linear SVM as an LP — the analog of the
+    reference's libsvm_6 datasets (utils.py:862-865: LPs with one constraint
+    per data sample).
+
+    min sum_i xi_i + C * sum_j (w+_j + w-_j)
+    s.t. y_i (a_i.(w+ - w-) + b) + xi_i >= 1 ;  xi, w+, w- >= 0 ;  b free.
+
+    Structure (``rs``): the feature sparsity pattern and class centroids.
+    Data (``rd``): the sampled points around those centroids.
+    """
+    ms, nf = m_samples, n_features
+    centroid = rs.randn(2, nf) * 1.5                 # structure
+    feat_mask = rs.rand(ms, nf) < density            # structure
+    for i in range(ms):
+        if not feat_mask[i].any():
+            feat_mask[i, rs.randint(nf)] = True
+    y = np.where(np.arange(ms) % 2 == 0, 1.0, -1.0)
+    pts = centroid[(y < 0).astype(int)] + rd.randn(ms, nf)
+    X = np.where(feat_mask, pts, 0.0)
+
+    # vars: [xi (ms), w+ (nf), w- (nf), b+ , b-]   (b split to stay >= 0)
+    n = ms + 2 * nf + 2
+    rows, cols, vals = [], [], []
+    for i in range(ms):
+        rows.append(i)
+        cols.append(i)
+        vals.append(1.0)                              # xi_i
+        for j in np.nonzero(feat_mask[i])[0]:
+            v = float(y[i] * X[i, j])
+            if v != 0.0:
+                rows += [i, i]
+                cols += [ms + j, ms + nf + j]
+                vals += [v, -v]                       # w+_j, w-_j
+        rows += [i, i]
+        cols += [ms + 2 * nf, ms + 2 * nf + 1]
+        vals += [float(y[i]), -float(y[i])]           # b+ - b-
+    A = coo_matrix((vals, (rows, cols)), shape=(ms, n)).tocsr()
+    c = np.concatenate([np.ones(ms), np.full(2 * nf, C), np.zeros(2)])
+    return LPData(c=c, b_l=np.ones(ms), A=A, b_u=np.full(ms, np.inf),
+                  lb=np.zeros(n), ub=np.full(n, np.inf),
+                  con_nms=_names("R", ms), var_nms=_names("X", n),
+                  name="svm")
+
+
+def permute_instance(lp: LPData, rng) -> LPData:
+    """Random row/column relabeling of one instance — the analog of the
+    reference's ``-perm`` dataset variants (utils.py:862-865): the same LP
+    family presented under per-instance permutations, so the model must be
+    permutation-equivariant rather than position-keyed."""
+    m, n = lp.A.shape
+    rp, cp = rng.permutation(m), rng.permutation(n)
+    A = lp.A.tocsr()[rp][:, cp].tocsr()
+    return LPData(c=lp.c[cp], b_l=lp.b_l[rp], A=A, b_u=lp.b_u[rp],
+                  lb=lp.lb[cp], ub=lp.ub[cp],
+                  con_nms=lp.con_nms[rp], var_nms=lp.var_nms[cp],
+                  name=lp.name + "-perm")
+
+
 GENERATORS = {
     "mirp_like": gen_mirp_like,
     "transport": gen_transport,
     "netflow": gen_netflow,
     "packing": gen_packing,
     "stoch": gen_stoch,
+    "svm": gen_svm,
 }
 
 
-def generate_instance(family: str, seed: int, instance: int, **kwargs) -> LPData:
-    """One instance: structure fixed by ``seed``, data varies by ``instance``."""
+def generate_instance(family: str, seed: int, instance: int, perm: bool = False,
+                      **kwargs) -> LPData:
+    """One instance: structure fixed by ``seed``, data varies by ``instance``.
+    ``perm=True`` additionally relabels rows/cols per instance (reference's
+    ``-perm`` dataset variants)."""
     rs = np.random.RandomState(seed)
     rd = np.random.RandomState(seed * 100003 + instance + 1)
-    return GENERATORS[family](rs, rd, **kwargs)
+    lp = GENERATORS[family](rs, rd, **kwargs)
+    if perm:
+        lp = permute_instance(lp, np.random.RandomState(seed * 7919 + instance))
+    return lp
 
 
 def generate_dataset(name: str, out_prefix: str, n_instances: int = 40,
@@ -285,6 +352,9 @@ def generate_dataset(name: str, out_prefix: str, n_instances: int = 40,
     """Write a family to ``{out_prefix}/{name}/mps/*.mps``
     (pipeline layout, SURVEY.md §1)."""
     family = family or name.split("-")[0]
+    # "-perm" dataset-name suffix => per-instance row/col relabeling
+    # (reference's medium-perm variants, utils.py:862-865)
+    kwargs.setdefault("perm", name.endswith("-perm"))
     mps_dir = osp.join(out_prefix, name, "mps")
     os.makedirs(mps_dir, exist_ok=True)
     out = []

@@ -74,26 +74,40 @@ def stage_generate(cfg: Config, family: str | None = None,
 
 def stage_run_solver(cfg: Config) -> None:
     """Cold-solve every instance, save optimal basis + log; also run the
-    crash-basis warm-start baseline (reference scripts/run_solver.py)."""
+    crash-basis warm-start baseline (reference scripts/run_solver.py).
+    ``--num_workers K`` fans the per-LP solves out over K processes (the
+    reference only parallelizes preprocessing, cvt_to_pkl.py:292-298; both
+    engines here are single-threaded per solve, so this scales ~linearly)."""
+    fns = _mps_files(cfg)
+    if cfg.num_workers and cfg.num_workers > 1:
+        from multiprocessing import Pool
+        from functools import partial
+        with Pool(cfg.num_workers) as pool:
+            pool.map(partial(_solve_one_cold, cfg=cfg), fns)
+        return
+    for mps in fns:
+        _solve_one_cold(mps, cfg)
+
+
+def _solve_one_cold(mps: str, cfg: Config) -> None:
     solve_mps = _solve_backend(cfg)
     method = cfg.normalized_lp_method()
     sfx = cfg.get_method_sfx()
     path = cfg.dataset_prefix
-    for mps in _mps_files(cfg):
-        nm = extract_fn(mps)
-        bas = f"{path}/{cfg.solver_prefix}basis{sfx}/{nm}.bas"
-        log = f"{path}/log/{cfg.solver_prefix}no-bas{sfx}/{nm}.log"
-        if cfg.skip_exist and osp.exists(log) and osp.exists(bas):
-            continue
-        res = solve_mps(mps, method=method, basis_out_path=bas, log_path=log)
-        logging.info("cold %s: %s %d iters", nm, res.status, res.niter)
-        # crash-basis baseline (run_solver.py:56)
-        lp = read_mps(mps)
-        colb, rowb = bixby_crash_basis(lp)
-        ca_bas = f"{path}/{cfg.solver_prefix}ca-init-bas-m1/{nm}.bas"
-        write_bas_highs(ca_bas, vbas=colb, cbas=rowb)
-        ca_log = f"{path}/log/{cfg.solver_prefix}ca-bas-m1/{nm}.log"
-        solve_mps(mps, method=method, basis_in_path=ca_bas, log_path=ca_log)
+    nm = extract_fn(mps)
+    bas = f"{path}/{cfg.solver_prefix}basis{sfx}/{nm}.bas"
+    log = f"{path}/log/{cfg.solver_prefix}no-bas{sfx}/{nm}.log"
+    if cfg.skip_exist and osp.exists(log) and osp.exists(bas):
+        return
+    res = solve_mps(mps, method=method, basis_out_path=bas, log_path=log)
+    logging.info("cold %s: %s %d iters", nm, res.status, res.niter)
+    # crash-basis baseline (run_solver.py:56)
+    lp = read_mps(mps)
+    colb, rowb = bixby_crash_basis(lp)
+    ca_bas = f"{path}/{cfg.solver_prefix}ca-init-bas-m1/{nm}.bas"
+    write_bas_highs(ca_bas, vbas=colb, cbas=rowb)
+    ca_log = f"{path}/log/{cfg.solver_prefix}ca-bas-m1/{nm}.log"
+    solve_mps(mps, method=method, basis_in_path=ca_bas, log_path=ca_log)
 
 
 def stage_cvt_to_pkl(cfg: Config) -> None:

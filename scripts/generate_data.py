@@ -43,6 +43,11 @@ SIZES = {
         "demo": dict(n_first=30, n_scen=25, m_scen=40),
         "bench": dict(n_first=60, n_scen=60, m_scen=60),
     },
+    "svm": {
+        "small": dict(m_samples=40, n_features=12),
+        "demo": dict(m_samples=300, n_features=60),
+        "bench": dict(m_samples=1500, n_features=200),
+    },
 }
 
 if __name__ == "__main__":

@@ -109,3 +109,24 @@ def test_scipy_linprog_oracle():
                   bounds=np.stack([lp.lb, lp.ub], axis=1), method="highs")
     assert out.status == 0
     assert np.isclose(out.fun, res.objective, rtol=1e-7)
+
+
+def test_perm_variant_preserves_objective():
+    """-perm instances are row/col relabelings: same optimum, shuffled names
+    (reference's medium-perm dataset variants, utils.py:862-865)."""
+    base = generate_instance("transport", seed=3, instance=0)
+    perm = generate_instance("transport", seed=3, instance=0, perm=True)
+    assert perm.shape == base.shape
+    assert not np.array_equal(perm.con_nms, base.con_nms)
+    a, b = solve_lp(base, method=1), solve_lp(perm, method=1)
+    assert a.status == b.status == "Optimal"
+    np.testing.assert_allclose(a.objective, b.objective, rtol=1e-7)
+
+
+def test_svm_family_shape_and_margin_rows():
+    lp = generate_instance("svm", seed=0, instance=0)
+    m, n = lp.shape
+    # one margin row per sample; vars = xi + w+/w- + split bias
+    assert n == m + 2 * 20 + 2
+    assert np.all(lp.b_l == 1.0) and np.all(np.isinf(lp.b_u))
+    assert np.all(lp.lb == 0.0)
