@@ -70,6 +70,13 @@ class Config:
     gW: float | None = None
     # parallelism (new, TPU build)
     mesh_shape: str = ""                   # e.g. "dp=4" or "edge=8"
+    graph_batch: int = 1                   # same-bucket graphs vmapped per step
+                                           # (per dp shard; 1 = reference
+                                           # semantics of one graph per step.
+                                           # NB: on TPU the vmapped SpMM gather
+                                           # is slower than sequential steps —
+                                           # measured 0.6x/graph at bench tier —
+                                           # so >1 mainly serves CPU runs)
     eval_every: int = 0                    # epochs between val passes (0=off)
     # derived (filled by finalize)
     dataset_prefix: str = ""

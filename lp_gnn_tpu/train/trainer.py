@@ -196,22 +196,26 @@ def run_exp(cfg: Config, dataset: LPDataset | None = None) -> str:
         return sample_subgraphs(g, rng_np, fanout=[6] * depth,
                                 batch_size=cfg.batch_size)
 
-    # optional data-parallel step over a device mesh (--mesh_shape "dp=K"):
-    # same-bucket graphs are grouped into K-sized batches; leftovers fall
-    # back to single-device steps (reference has no DP at all, train.py:81)
-    dp_step, dp_size = None, 0
+    # optional batched step: --mesh_shape "dp=K" shards same-bucket graph
+    # stacks over K devices (reference has no DP at all, train.py:81), and
+    # --graph_batch B additionally vmaps B graphs per shard — B>1 on a
+    # single device gives graph-batched training (one dispatch per B graphs,
+    # gradient of the mean loss instead of B sequential steps).
+    dp_step, stack_size = None, 0
     mesh_spec = getattr(cfg, "mesh_shape", "")
+    graph_batch = max(int(getattr(cfg, "graph_batch", 1)), 1)
+    dp_size = 1
     if mesh_spec and "dp=" in mesh_spec:
-        from ..parallel.mesh import make_mesh, parse_mesh_shape
-        from ..parallel.dp import make_dp_train_step, stack_graphs
-        shape = parse_mesh_shape(mesh_spec)
-        dp_size = shape.get("dp", 0)
-        if dp_size > 1 and dp_size <= len(jax.devices()):
-            mesh = make_mesh({"dp": dp_size})
-            dp_step = make_dp_train_step(model, cfg.loss, optimizer, mesh)
-            logging.info("data-parallel training over %d devices", dp_size)
-        else:
-            dp_size = 0
+        from ..parallel.mesh import parse_mesh_shape
+        dp_size = parse_mesh_shape(mesh_spec).get("dp", 1)
+    if (dp_size > 1 or graph_batch > 1) and dp_size <= len(jax.devices()):
+        from ..parallel.mesh import make_mesh
+        from ..parallel.dp import make_dp_train_step
+        mesh = make_mesh({"dp": dp_size})
+        dp_step = make_dp_train_step(model, cfg.loss, optimizer, mesh)
+        stack_size = dp_size * graph_batch
+        logging.info("batched training: %d device(s) x %d graphs per step",
+                     dp_size, graph_batch)
 
     loss_meter, acc_meter = AverageMeter(), AverageMeter()
     glstep = 0
@@ -257,9 +261,9 @@ def run_exp(cfg: Config, dataset: LPDataset | None = None) -> str:
                         singles.extend(pgs)
                 batches = []
                 for group in by_sig.values():
-                    while len(group) >= dp_size:
-                        batches.append(stack_graphs(group[:dp_size]))
-                        group = group[dp_size:]
+                    while len(group) >= stack_size:
+                        batches.append(stack_graphs(group[:stack_size]))
+                        group = group[stack_size:]
                     singles.extend(group)
                 padded_cache["dp_batches"] = (batches, singles)
             batches, singles = padded_cache["dp_batches"]

@@ -144,3 +144,15 @@ def test_train_sampled_path(tiny_cfg):
     cfg.finalize()
     ckpt = run_exp(cfg)
     assert osp.exists(ckpt)
+
+
+def test_train_graph_batched_single_device(tiny_cfg):
+    """--graph_batch 2 vmaps two same-bucket graphs per step on ONE device
+    (one dispatch per pair, mean-loss gradient) — no mesh_shape needed."""
+    import dataclasses
+    from lp_gnn_tpu.train.trainer import run_exp
+    cfg = dataclasses.replace(tiny_cfg, graph_batch=2, epochs=3,
+                              exp_nm="t-gbatch")
+    cfg.finalize()
+    ckpt = run_exp(cfg)
+    assert osp.exists(ckpt)
