@@ -309,6 +309,70 @@ def gen_svm(rs, rd, m_samples: int = 60, n_features: int = 20,
                   name="svm")
 
 
+def gen_miplib_like(rs, rd, n_items: int = 30, n_bins: int = 8,
+                    n_knap: int = 10, n_cover: int = 10,
+                    density: float = 0.25) -> LPData:
+    """Heterogeneous-structure LP: the relaxation of an assignment +
+    knapsack + set-cover MIP — the analog of the reference's miplib_8
+    datasets (utils.py:862-865: LP relaxations of MIPLIB instances, mixed
+    row types instead of one clean family structure).
+
+    Rows: assignment equalities (sum_b x_{i,b} = 1 per item), bin capacity
+    knapsacks (<=), and set-cover rows over side variables (>=).
+    Vars: x_{i,b} in [0,1] (relaxed binaries) + continuous cover vars.
+    """
+    nI, nB = n_items, n_bins
+    nx = nI * nB
+    n_side = max(n_cover * 3, 12)
+    n = nx + n_side
+    m = nI + nB + n_knap + n_cover
+    rows, cols, vals = [], [], []
+    # assignment equalities
+    for i in range(nI):
+        for b in range(nB):
+            rows.append(i)
+            cols.append(i * nB + b)
+            vals.append(1.0)
+    # bin capacity knapsacks: sum_i w_i x_{i,b} <= cap_b
+    w = rs.rand(nI) * 4 + 1                      # structure
+    for b in range(nB):
+        for i in range(nI):
+            rows.append(nI + b)
+            cols.append(i * nB + b)
+            vals.append(float(w[i]))
+    # extra random knapsack rows over side vars + some x vars
+    for k in range(n_knap):
+        sub = np.nonzero(rs.rand(n) < density)[0]
+        if len(sub) == 0:
+            sub = np.array([rs.randint(n)])
+        for j in sub:
+            rows.append(nI + nB + k)
+            cols.append(int(j))
+            vals.append(float(rs.rand() * 3 + 0.5))
+    # set-cover rows: sum over a random subset of side vars >= 1
+    for k in range(n_cover):
+        sub = nx + np.nonzero(rs.rand(n_side) < 0.4)[0]
+        if len(sub) == 0:
+            sub = np.array([nx + rs.randint(n_side)])
+        for j in sub:
+            rows.append(nI + nB + n_knap + k)
+            cols.append(int(j))
+            vals.append(1.0)
+    A = coo_matrix((vals, (rows, cols)), shape=(m, n)).tocsr()
+    cap = np.asarray(A[nI:nI + nB].sum(axis=1)).flatten() \
+        * (0.25 + 0.15 * rd.rand(nB)) + w.max()
+    kcap = np.asarray(A[nI + nB:nI + nB + n_knap].sum(axis=1)).flatten() \
+        * (0.4 + 0.3 * rd.rand(n_knap))
+    b_l = np.concatenate([np.ones(nI), np.full(nB + n_knap, -np.inf),
+                          np.ones(n_cover)])
+    b_u = np.concatenate([np.ones(nI), cap, kcap, np.full(n_cover, np.inf)])
+    c = np.concatenate([rd.rand(nx) * 10 + 1, rd.rand(n_side) * 5 + 0.5])
+    ub = np.concatenate([np.ones(nx), np.full(n_side, np.inf)])
+    return LPData(c=c, b_l=b_l, A=A, b_u=b_u, lb=np.zeros(n), ub=ub,
+                  con_nms=_names("R", m), var_nms=_names("X", n),
+                  name="miplib_like")
+
+
 def permute_instance(lp: LPData, rng) -> LPData:
     """Random row/column relabeling of one instance — the analog of the
     reference's ``-perm`` dataset variants (utils.py:862-865): the same LP
@@ -330,6 +394,7 @@ GENERATORS = {
     "packing": gen_packing,
     "stoch": gen_stoch,
     "svm": gen_svm,
+    "miplib_like": gen_miplib_like,
 }
 
 

@@ -48,6 +48,12 @@ SIZES = {
         "demo": dict(m_samples=300, n_features=60),
         "bench": dict(m_samples=1500, n_features=200),
     },
+    "miplib_like": {
+        "small": dict(n_items=12, n_bins=4, n_knap=5, n_cover=5),
+        "demo": dict(n_items=60, n_bins=12, n_knap=30, n_cover=30),
+        "bench": dict(n_items=200, n_bins=25, n_knap=120, n_cover=120,
+                      density=0.1),
+    },
 }
 
 if __name__ == "__main__":
