@@ -306,6 +306,13 @@ def stage_extract(cfg: Config):
     df = collect_results(cfg.log_dir, dump_info, cfg.solver_prefix)
     summary = summarize(df)
     print(summary)
+    # paper-style LaTeX cells (reference utils.py:917-971 proc*), kept as an
+    # artifact next to time.h5
+    from .reporting.extract import to_latex_table
+    try:
+        to_latex_table(summary).to_csv(osp.join(cfg.log_dir, "summary.tex.csv"))
+    except Exception as e:   # formatting must never fail the pipeline
+        logging.warning("latex summary skipped: %s", e)
     return df, summary
 
 

@@ -135,6 +135,63 @@ def collect_results(log_dir: str, time_h5: str, solver_prefix: str = "highs-",
     return df
 
 
+# ------------------------------------------------------- LaTeX table helpers
+def fmt_large_int(x: float) -> str:
+    """29_900 -> '29.9K', 1_740_000 -> '1.7M' (reference utils.py:948-956)."""
+    for cut, suffix in ((1e6, "M"), (1e3, "K")):
+        if x >= cut:
+            return f"{x / cut:.1f}{suffix}"
+    return f"{x:.1f}"
+
+
+def fmt_float(x: float) -> str:
+    """>=0.05 -> one decimal; smaller -> exponent notation with the LaTeX
+    'e-' escape (reference utils.py:957-964)."""
+    if float(x) >= 0.05:
+        return f"{x:.1f}"
+    s = f"{x:.0e}".replace("-0", "-")
+    return s.replace("e-", r"\text{e-}")
+
+
+def _mean_pm_std(mean: float, std: float, fmt) -> str:
+    out = f"${fmt(mean)}"
+    if np.isfinite(std) and abs(std) > 1e-5:
+        out += r"{\scriptscriptstyle \pm " + fmt(std) + "}"
+    return out + "$"
+
+
+def proc(s: pd.Series) -> str:
+    """Format one (mean, std) row of :func:`summarize` as a LaTeX cell,
+    dispatching on the metric name — percentages for acc/prec/recl/repair/
+    impr, floats for inf/fact times, K/M-reduced ints for iteration counts
+    (reference utils.py:917-971)."""
+    nm = str(s.name)
+    mean, std = float(s["mean"]), float(s.get("std", np.nan))
+    if any(k in nm for k in ("acc", "prec", "recl", "repair", "impr")):
+        return _proc_percent(mean, std)
+    if any(k in nm for k in ("inf_time", "fact_time")):
+        return _mean_pm_std(mean, std, fmt_float)
+    return _mean_pm_std(mean, std, fmt_large_int)
+
+
+def _proc_percent(mean: float, std: float) -> str:
+    out = f"${mean * 100:.1f} "
+    if np.isfinite(std) and abs(std * 100) > 1e-5:
+        out += r"{\scriptscriptstyle \pm " + fmt_float(std * 100) + "}"
+    return out + "$"
+
+
+def to_latex_table(summary: pd.DataFrame) -> pd.DataFrame:
+    """Apply :func:`proc` over a :func:`summarize` result: one formatted
+    '$mean{\\pm std}$' cell per (metric, split)."""
+    wide = summary.unstack(level=-1)   # rows = metric, cols = (split, stat)
+    out = {}
+    for split in wide.columns.get_level_values(0).unique():
+        sub = wide[split]
+        out[split] = sub.apply(lambda s: proc(s), axis=1)
+    return pd.DataFrame(out)
+
+
 def summarize(df: pd.DataFrame) -> pd.DataFrame:
     """Per-split mean/std over metric columns
     (reference scripts/extract_time.py:82-91)."""

@@ -71,3 +71,36 @@ def test_collect_and_summarize(tmp_path):
     assert np.isclose(row["gnn-bas-0/repair_p"], 7 / 2)
     s = summarize(out)
     assert ("gnn-bas-0/niter" in s.index.get_level_values(0))
+
+
+def test_latex_formatters():
+    from lp_gnn_tpu.reporting.extract import fmt_large_int, fmt_float, proc
+    import pandas as pd
+    assert fmt_large_int(29_900) == "29.9K"
+    assert fmt_large_int(1_740_000) == "1.7M"
+    assert fmt_large_int(42) == "42.0"
+    assert fmt_float(0.3) == "0.3"
+    assert fmt_float(0.003) == r"3\text{e-}3"
+    s = pd.Series({"mean": 17_400.0, "std": 11_000.0},
+                  name="gnn-bas-0/niter")
+    assert proc(s) == r"$17.4K{\scriptscriptstyle \pm 11.0K}$"
+    p = pd.Series({"mean": 0.404, "std": 0.12},
+                  name="gnn-bas-0/impr_niter")
+    assert proc(p) == r"$40.4 {\scriptscriptstyle \pm 12.0}$"
+    z = pd.Series({"mean": 0.5, "std": 0.0}, name="acc")
+    assert proc(z) == "$50.0 $"
+
+
+def test_to_latex_table_shapes():
+    import numpy as np
+    import pandas as pd
+    from lp_gnn_tpu.reporting.extract import summarize, to_latex_table
+    df = pd.DataFrame({
+        "fn": ["a", "b", "c", "d"],
+        "split": ["train", "train", "val", "val"],
+        "acc": [0.8, 0.9, 0.7, 0.75],
+        "highs-no-bas/niter": [100, 120, 200, 180],
+    })
+    tab = to_latex_table(summarize(df))
+    assert set(tab.columns) == {"train", "val"}
+    assert tab.loc["highs-no-bas/niter", "val"].startswith("$190.0")
