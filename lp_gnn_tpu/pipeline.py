@@ -32,7 +32,8 @@ from .infer.decode import parse_inference_manager
 from .infer.predict import (model_inference, predict_and_write_bases,
                             timed_inference, validation)
 from .models.gcn import build_model
-from .reporting.extract import collect_results, extract_time, summarize
+from .reporting.extract import (collect_results, extract_time, summarize,
+                                to_latex_table)
 from .solver.crash import bixby_crash_basis
 from .solver import native as native_solver
 from .train.trainer import load_ckpt, run_exp
@@ -308,7 +309,6 @@ def stage_extract(cfg: Config):
     print(summary)
     # paper-style LaTeX cells (reference utils.py:917-971 proc*), kept as an
     # artifact next to time.h5
-    from .reporting.extract import to_latex_table
     try:
         to_latex_table(summary).to_csv(osp.join(cfg.log_dir, "summary.tex.csv"))
     except Exception as e:   # formatting must never fail the pipeline

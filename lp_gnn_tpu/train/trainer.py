@@ -208,7 +208,13 @@ def run_exp(cfg: Config, dataset: LPDataset | None = None) -> str:
     if mesh_spec and "dp=" in mesh_spec:
         from ..parallel.mesh import parse_mesh_shape
         dp_size = parse_mesh_shape(mesh_spec).get("dp", 1)
-    if (dp_size > 1 or graph_batch > 1) and dp_size <= len(jax.devices()):
+    if dp_size > len(jax.devices()):
+        logging.warning("mesh_shape dp=%d exceeds %d devices — falling back "
+                        "to single-device steps%s", dp_size,
+                        len(jax.devices()),
+                        " (graph_batch dropped too)" if graph_batch > 1 else "")
+        dp_size, graph_batch = 1, 1
+    if dp_size > 1 or graph_batch > 1:
         from ..parallel.mesh import make_mesh
         from ..parallel.dp import make_dp_train_step
         mesh = make_mesh({"dp": dp_size})
