@@ -116,6 +116,10 @@ def block_layout(dst: np.ndarray, src: np.ndarray, val: np.ndarray,
 
     Returns (blk_src (B',K), blk_dst (B',K), blk_val (B',K), out_blk (B',),
     n_blocks).
+
+    The per-block loop is deliberate: it copies contiguous slices (memcpy),
+    which measures ~4x faster at 10M edges than the "vectorized"
+    fancy-indexed scatter equivalent (cache-hostile random 2-D writes).
     """
     nblk = _round_up(num_dst, R) // R
     if len(dst) == 0:
