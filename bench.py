@@ -14,9 +14,13 @@ The reference publishes no throughput numbers (BASELINE.md): its hot path is
 torch_sparse spmm (SURVEY.md §3.2). ``vs_baseline`` is measured against the
 naive TPU port of that pattern — gather + XLA scatter-add segment-sum — at
 11.2M edge-traversals/s on this chip (round-1 measurement of ops/spmm.py's
-``segment_spmm`` path, the implementation a direct translation of the
-reference would land on). The framework's chunked one-hot MXU SpMM
-(ops/spmm.py blocked_spmm) is what's being measured.
+``segment_spmm`` path in fp32, the implementation and precision a direct
+translation of the reference would land on). The framework's chunked
+one-hot MXU SpMM (ops/spmm.py blocked_spmm) is what's being measured, in
+its default precision: bf16 compute with fp32 SpMM accumulation/masking —
+validated end to end at full scale (RESULTS.md: the 800-epoch bf16 run
+matches fp32 val accuracy at 0.854 and improves warm-start reduction,
+1.84x native / 1.67x HiGHS vs fp32's 1.76x / 1.63x).
 """
 import json
 import os
@@ -63,7 +67,7 @@ def measure(device, pg, n_warmup=2, n_steps=5):
     from lp_gnn_tpu.models.gcn import build_model
     from lp_gnn_tpu.train.trainer import make_optimizer, make_train_step
 
-    dtype = os.environ.get("BENCH_DTYPE", "float32")
+    dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
     model = build_model(f"GCN_FC(8,8,hids={HIDS},depth=3,dtype='{dtype}')")
     with jax.default_device(device):
         params = model.init(jax.random.PRNGKey(0))
