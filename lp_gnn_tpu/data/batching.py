@@ -101,8 +101,22 @@ def _round_up(x: int, mult: int) -> int:
     return ((max(x, 1) + mult - 1) // mult) * mult
 
 
-BLOCK_R = 128   # dst rows per block (MXU tile height)
-BLOCK_K = 512   # edges per chunk (MXU contraction depth)
+BLOCK_R = 128    # dst rows per block (MXU tile height)
+BLOCK_K = 512    # min edges per chunk (MXU contraction depth)
+BLOCK_K_MAX = 2048   # on-chip sweep optimum: larger chunks amortize better
+                     # until slot fill collapses (RESULTS.md)
+
+
+def pick_block_k(e_pad: int, num_dst: int, R: int = BLOCK_R) -> int:
+    """Chunk depth adapted to the bucket's mean edges-per-block: K grows
+    (512 -> 2048) while blocks stay full. Derived from *padded* sizes only,
+    so every graph in a bucket gets the same K (stable jit signatures)."""
+    nblk = max(_round_up(num_dst, R) // R, 1)
+    per_block = e_pad / nblk
+    k = BLOCK_K
+    while k < per_block and k < BLOCK_K_MAX:
+        k *= 2
+    return k
 
 
 def block_layout(dst: np.ndarray, src: np.ndarray, val: np.ndarray,
@@ -207,10 +221,12 @@ def pad_graph(g: BipartiteGraph, m_pad: int | None = None, n_pad: int | None = N
 
     blk_r = block_layout(row_r[:e] if e else row_r[:0],
                          col_r[:e] if e else col_r[:0],
-                         val_r[:e] if e else val_r[:0], m_pad)
+                         val_r[:e] if e else val_r[:0], m_pad,
+                         K=pick_block_k(e_pad, m_pad))
     blk_c = block_layout(col_c[:e] if e else col_c[:0],
                          row_c[:e] if e else row_c[:0],
-                         val_c[:e] if e else val_c[:0], n_pad)
+                         val_c[:e] if e else val_c[:0], n_pad,
+                         K=pick_block_k(e_pad, n_pad))
     return PaddedGraph(
         row_r=row_r, col_r=col_r, val_r=val_r,
         row_c=row_c, col_c=col_c, val_c=val_c,
