@@ -44,7 +44,8 @@ def _split(rng, n):
 
 # ------------------------------------------------------------------- GCN_FC
 def make_gcn_fc(p: int = 8, q: int = 8, hids: int = 128, depth: int = 3,
-                dp: float = 0.1, dtype: str = "float32") -> Model:
+                dp: float = 0.1, dtype: str = "float32",
+                remat: bool = False) -> Model:
     """Flagship model (reference arch.py:167-193): 1 in-conv, depth-2 hidden
     convs, per-side Linear(hids,3) heads; conv1->relu; hidden: conv ->
     dropout -> relu; heads -> knowledge mask.
@@ -52,9 +53,16 @@ def make_gcn_fc(p: int = 8, q: int = 8, hids: int = 128, depth: int = 3,
     ``dtype='bfloat16'`` runs the conv/linear stack in bf16 on the MXU
     (params stay fp32; SpMM accumulation and the knowledge mask stay fp32 —
     the reference's fp16 NaN workaround, val.py:111, motivates keeping the
-    masking arithmetic in full precision)."""
+    masking arithmetic in full precision).
+
+    ``remat=True`` wraps each conv in ``jax.checkpoint``: backward
+    recomputes the layer instead of storing per-layer activations — useful
+    when node-feature activations dominate memory (deep stacks / wide hids;
+    at 100M edges the edge layouts themselves dominate, where remat does
+    not help — the edge-partitioned multi-chip path is the answer there)."""
     n_hidden = max(depth - 2, 0)
     cdtype = jnp.dtype(dtype)
+    conv_fn = jax.checkpoint(bidir_conv_apply) if remat else bidir_conv_apply
 
     def init(key):
         ks = jax.random.split(key, 3 + n_hidden)
@@ -68,11 +76,11 @@ def make_gcn_fc(p: int = 8, q: int = 8, hids: int = 128, depth: int = 3,
     def apply(params, pg, train=False, rng=None):
         x_left = pg.c_feas.astype(cdtype)
         x_right = pg.v_feas.astype(cdtype)
-        left, right = bidir_conv_apply(params["conv1"], pg, x_left, x_right)
+        left, right = conv_fn(params["conv1"], pg, x_left, x_right)
         left, right = jax.nn.relu(left), jax.nn.relu(right)
         keys = _split(rng, 2 * max(n_hidden, 1))
         for i, conv in enumerate(params["layers"]):
-            left, right = bidir_conv_apply(conv, pg, left, right)
+            left, right = conv_fn(conv, pg, left, right)
             left = dropout(left, dp, keys[2 * i], train)
             right = dropout(right, dp, keys[2 * i + 1], train)
             left, right = jax.nn.relu(left), jax.nn.relu(right)

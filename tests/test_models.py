@@ -228,3 +228,22 @@ def test_bf16_compute_close_to_fp32(rng):
         np.asarray(pg.vars_mask)
     norms = np.linalg.norm(np.asarray(lv16)[unmasked], axis=1)
     np.testing.assert_allclose(norms, 10.0, rtol=0.05)
+
+
+def test_remat_matches_plain(rng):
+    """remat=True (jax.checkpoint per conv) must be numerically identical
+    in both forward logits and gradients."""
+    pg = make_pg(rng, m=12, n=20, e=60)
+    m0 = build_model("GCN_FC(8,8,hids=16,depth=3)")
+    m1 = build_model("GCN_FC(8,8,hids=16,depth=3,remat=True)")
+    params = m0.init(jax.random.PRNGKey(1))
+
+    def loss(mdl, p):
+        lc, lv = mdl.apply(p, pg)
+        return jnp.sum(lc ** 2) + jnp.sum(lv ** 2)
+
+    l0, g0 = jax.value_and_grad(lambda p: loss(m0, p))(params)
+    l1, g1 = jax.value_and_grad(lambda p: loss(m1, p))(params)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5)
