@@ -128,3 +128,53 @@ def test_mps_free_row_and_empty_column_roundtrip(tmp_path):
     np.testing.assert_allclose(lp2.b_u, [np.inf, 3.0])
     np.testing.assert_allclose(lp2.c, [1.0, 0.0])
     np.testing.assert_allclose(lp2.ub, [np.inf, 4.0])
+
+
+def test_mps_ranges_objsense_bounds_gz(tmp_path):
+    """RANGES on L/G/E rows, OBJSENSE MAX flip, MI/FX/FR bounds, and .gz
+    decompression in one fixed-format file (reference cvt_to_pkl.py:61-133
+    sense-normalization semantics)."""
+    import gzip
+    import numpy as np
+    from lp_gnn_tpu.io.mps import read_mps
+    text = """NAME          T
+OBJSENSE
+    MAX
+ROWS
+ N  COST
+ L  R1
+ G  R2
+ E  R3
+COLUMNS
+    X1  COST  2.0  R1  1.0
+    X1  R2    1.0  R3  1.0
+    X2  COST  1.0  R1  2.0
+RHS
+    RHS  R1  10.0  R2  2.0
+    RHS  R3  5.0
+RANGES
+    RNG  R1  4.0   R2  3.0
+    RNG  R3  6.0
+BOUNDS
+ MI BND  X1
+ FX BND  X2  2.5
+ENDATA
+"""
+    fn = str(tmp_path / "t.mps.gz")
+    with gzip.open(fn, "wt") as f:
+        f.write(text)
+    lp = read_mps(fn)
+    # MAX -> negated c
+    np.testing.assert_allclose(lp.c, [-2.0, -1.0])
+    i1 = list(lp.con_nms).index("R1")
+    i2 = list(lp.con_nms).index("R2")
+    i3 = list(lp.con_nms).index("R3")
+    # L row + range: b_l = rhs - |r|
+    assert lp.b_l[i1] == 6.0 and lp.b_u[i1] == 10.0
+    # G row + range: b_u = rhs + |r|
+    assert lp.b_l[i2] == 2.0 and lp.b_u[i2] == 5.0
+    # E row + positive range r: [rhs, rhs + r]
+    assert lp.b_l[i3] == 5.0 and lp.b_u[i3] == 11.0
+    # MI: lower -inf, upper default; FX: both 2.5
+    assert np.isneginf(lp.lb[0]) and lp.ub[0] == np.inf
+    assert lp.lb[1] == 2.5 and lp.ub[1] == 2.5
