@@ -156,3 +156,15 @@ def test_train_graph_batched_single_device(tiny_cfg):
     cfg.finalize()
     ckpt = run_exp(cfg)
     assert osp.exists(ckpt)
+
+
+def test_train_dp_times_graph_batch(tiny_cfg):
+    """--mesh_shape dp=2 --graph_batch 2 stacks 4 same-bucket graphs per
+    step (2 vmapped per dp shard)."""
+    import dataclasses
+    from lp_gnn_tpu.train.trainer import run_exp
+    cfg = dataclasses.replace(tiny_cfg, mesh_shape="dp=2", graph_batch=2,
+                              epochs=3, exp_nm="t-dpgb")
+    cfg.finalize()
+    ckpt = run_exp(cfg)
+    assert osp.exists(ckpt)
