@@ -71,6 +71,13 @@ class Config:
     # parallelism (new, TPU build)
     mesh_shape: str = ""                   # e.g. "dp=4" or "edge=8"
     graph_batch: int = 1                   # same-bucket graphs vmapped per step
+    cache_in_agg: int = 1                  # precompute input-conv aggregation
+                                           # per graph (exact; see
+                                           # ops/spmm.py attach_input_agg)
+    steps_per_call: int = 1                # K sequential SGD steps per jit
+                                           # dispatch (lax.scan over same-
+                                           # bucket graph stacks) — exact
+                                           # semantics, amortized dispatch
                                            # (per dp shard; 1 = reference
                                            # semantics of one graph per step.
                                            # NB: on TPU the vmapped SpMM gather

@@ -41,7 +41,7 @@ from .dataset import BipartiteGraph
                       "blkr_src", "blkr_dst", "blkr_val", "blkr_out",
                       "blkr_ptr",
                       "blkc_src", "blkc_dst", "blkc_val", "blkc_out",
-                      "blkc_ptr"],
+                      "blkc_ptr", "in_agg_c", "in_agg_v"],
          meta_fields=[])
 @dataclasses.dataclass
 class PaddedGraph:
@@ -80,6 +80,14 @@ class PaddedGraph:
     blkc_val: np.ndarray | None = None   # (C', K) float32
     blkc_out: np.ndarray | None = None   # (C',) int32
     blkc_ptr: np.ndarray | None = None   # (N_pad/R + 1,) int32
+    # Precomputed input-layer aggregations (ops/spmm.py attach_input_agg):
+    # the first conv's SpMM operates on the *raw node features*, which are
+    # constant per graph — so A^T x_cons and A x_vars can be computed once
+    # and reused every train/inference step (exact same math and gradients;
+    # the input features receive no gradient, so no backward SpMM is lost).
+    # This removes 2 of the 6 per-step edge traversals.
+    in_agg_c: np.ndarray | None = None   # (M_pad, p) = A x_vars_feas
+    in_agg_v: np.ndarray | None = None   # (N_pad, q) = A^T x_cons_feas
 
     @property
     def m_pad(self) -> int:

@@ -21,6 +21,7 @@ import jax.numpy as jnp
 
 from .layers import (
     linear_init, linear_apply, bidir_conv_init, bidir_conv_apply,
+    bidir_conv_apply_input,
     add_knowledge, dropout, layer_norm_init, layer_norm_apply,
 )
 from .gen import gen_bidir_init, gen_bidir_apply
@@ -34,6 +35,7 @@ class Model:
     apply: Callable[..., Any]             # (params, pg, train=..., rng=...) -> (lc, lv)
     depth: int
     hids: int
+    dtype: str = "float32"                # compute dtype of the conv stack
 
 
 def _split(rng, n):
@@ -63,6 +65,8 @@ def make_gcn_fc(p: int = 8, q: int = 8, hids: int = 128, depth: int = 3,
     n_hidden = max(depth - 2, 0)
     cdtype = jnp.dtype(dtype)
     conv_fn = jax.checkpoint(bidir_conv_apply) if remat else bidir_conv_apply
+    in_conv_fn = (jax.checkpoint(bidir_conv_apply_input) if remat
+                  else bidir_conv_apply_input)
 
     def init(key):
         ks = jax.random.split(key, 3 + n_hidden)
@@ -76,7 +80,7 @@ def make_gcn_fc(p: int = 8, q: int = 8, hids: int = 128, depth: int = 3,
     def apply(params, pg, train=False, rng=None):
         x_left = pg.c_feas.astype(cdtype)
         x_right = pg.v_feas.astype(cdtype)
-        left, right = conv_fn(params["conv1"], pg, x_left, x_right)
+        left, right = in_conv_fn(params["conv1"], pg, x_left, x_right)
         left, right = jax.nn.relu(left), jax.nn.relu(right)
         keys = _split(rng, 2 * max(n_hidden, 1))
         for i, conv in enumerate(params["layers"]):
@@ -88,7 +92,7 @@ def make_gcn_fc(p: int = 8, q: int = 8, hids: int = 128, depth: int = 3,
         right = linear_apply(params["lin_right"], right)
         return add_knowledge(left, right, x_left, x_right)
 
-    return Model("GCN_FC", init, apply, depth, hids)
+    return Model("GCN_FC", init, apply, depth, hids, dtype=dtype)
 
 
 # ---------------------------------------------------------------------- GCN
@@ -103,7 +107,8 @@ def make_gcn(p: int = 8, q: int = 8, hids: int = 128, *_, **__) -> Model:
 
     def apply(params, pg, train=False, rng=None):
         x_left, x_right = pg.c_feas, pg.v_feas
-        left, right = bidir_conv_apply(params["conv1"], pg, x_left, x_right)
+        left, right = bidir_conv_apply_input(params["conv1"], pg, x_left,
+                                             x_right)
         left, right = jax.nn.relu(left), jax.nn.relu(right)
         left, right = bidir_conv_apply(params["conv2"], pg, left, right)
         left, right = jax.nn.relu(left), jax.nn.relu(right)
@@ -154,7 +159,12 @@ def _deep_layer_apply(p, pg, left, right, conv_apply, dp, keys, train):
     return left + h_l, right + h_r
 
 
-def _make_deeper(name, conv_init, conv_apply, p=8, q=8, hids=128, depth=5) -> Model:
+def _make_deeper(name, conv_init, conv_apply, p=8, q=8, hids=128, depth=5,
+                 in_conv_apply=None) -> Model:
+    # in_conv_apply: cached-input variant for the first conv where the
+    # aggregation is parameter-free (GraphConv); GENConv's softmax
+    # aggregation depends on learnable temperature, so it cannot be cached.
+    in_conv_apply = in_conv_apply or conv_apply
     n_mid = max(depth - 2, 0)
 
     def init(key):
@@ -166,7 +176,7 @@ def _make_deeper(name, conv_init, conv_apply, p=8, q=8, hids=128, depth=5) -> Mo
 
     def apply(params, pg, train=False, rng=None):
         x_left, x_right = pg.c_feas, pg.v_feas
-        left, right = conv_apply(params["conv_in"], pg, x_left, x_right)
+        left, right = in_conv_apply(params["conv_in"], pg, x_left, x_right)
         keys = _split(rng, 2 * max(n_mid, 1))
         for i, blk in enumerate(params["blocks"]):
             left, right = _deep_layer_apply(blk, pg, left, right, conv_apply,
@@ -179,7 +189,8 @@ def _make_deeper(name, conv_init, conv_apply, p=8, q=8, hids=128, depth=5) -> Mo
 
 def make_gcn_deeper(p=8, q=8, hids=128, depth=50, *_, **__) -> Model:
     return _make_deeper("GCNDeeper", bidir_conv_init, bidir_conv_apply,
-                        p, q, hids, depth)
+                        p, q, hids, depth,
+                        in_conv_apply=bidir_conv_apply_input)
 
 
 def make_gen_deeper(p=8, q=8, hids=128, depth=5, *_, **__) -> Model:

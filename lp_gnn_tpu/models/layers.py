@@ -70,6 +70,25 @@ def bidir_conv_apply(p, pg, left, right):
     return left_updated, right_updated
 
 
+def bidir_conv_apply_input(p, pg, left, right):
+    """``bidir_conv_apply`` for the *input* conv: if the graph carries
+    precomputed input aggregations (ops/spmm.py attach_input_agg) in the
+    matching dtype, use them instead of re-running the two SpMMs — the raw
+    features are per-graph constants, so this is exact (gathers are
+    row-rate-bound on TPU, so the input conv's D=8 traversals cost as much
+    as the D=hids ones; caching removes them entirely)."""
+    agg_c = getattr(pg, "in_agg_c", None)
+    agg_v = getattr(pg, "in_agg_v", None)
+    if agg_c is None or agg_v is None or agg_c.dtype != right.dtype or \
+            agg_v.dtype != left.dtype:
+        return bidir_conv_apply(p, pg, left, right)
+    right_updated = linear_apply(p["l2r"]["rel"], agg_v) + \
+        linear_apply(p["l2r"]["root"], right)
+    left_updated = linear_apply(p["r2l"]["rel"], agg_c) + \
+        linear_apply(p["r2l"]["root"], left)
+    return left_updated, right_updated
+
+
 # ------------------------------------------------------------ knowledge mask
 def add_knowledge(left_logit, right_logit, left_feas, right_feas,
                   bound: float = 10.0):

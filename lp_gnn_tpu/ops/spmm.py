@@ -254,6 +254,26 @@ def bidir_spmm(pg, x_cons, x_vars):
     return spmm_vars_to_cons(pg, x_vars), spmm_cons_to_vars(pg, x_cons)
 
 
+def attach_input_agg(pg, dtype=jnp.float32):
+    """Precompute the input layer's aggregations once per graph.
+
+    The first conv of every model aggregates the *raw node features*
+    (reference arch.py:179-185: conv1 consumes the 8-dim features), which
+    are constants of the graph — so ``A x_vars_feas`` and ``A^T x_cons_feas``
+    never change across steps or epochs. Computing them once here (in the
+    model's compute dtype, so the result is bit-identical to what the conv
+    would produce) removes two full edge traversals from every train and
+    inference step; the inputs receive no gradient, so backward is
+    unaffected. Call after ``jax.device_put`` so the SpMMs run on-device.
+    """
+    import dataclasses
+    xl = pg.c_feas.astype(dtype)
+    xr = pg.v_feas.astype(dtype)
+    agg_v = spmm_cons_to_vars(pg, xl)     # (N_pad, p) into variables
+    agg_c = spmm_vars_to_cons(pg, xr)     # (M_pad, q) into constraints
+    return dataclasses.replace(pg, in_agg_c=agg_c, in_agg_v=agg_v)
+
+
 def sddmm(row, col, x_cons, x_vars):
     """Sampled dense-dense matmul: per-edge <x_cons[row], x_vars[col]>.
 

@@ -93,6 +93,54 @@ def make_train_step(model: Model, loss_name: str, optimizer):
     return train_step
 
 
+def make_scan_train_step(model: Model, loss_name: str, optimizer,
+                         stacked: bool = True):
+    """K sequential SGD steps in ONE jit dispatch via ``lax.scan`` —
+    host-loop-free training, the TPU-idiomatic replacement for the
+    reference's per-step Python loop (train.py:117-147). Semantics are
+    exactly K calls of ``make_train_step``'s step (same update order, same
+    per-step RNG), but per-dispatch host/runtime overhead is paid once per
+    K steps instead of per step.
+
+    stacked=True: ``pgs`` is a same-bucket PaddedGraph stack with leading
+    axis K (one graph per step — the trainer's --steps_per_call path).
+    stacked=False: ``pgs`` is a single PaddedGraph reused for all K steps
+    (bench.py's repeated-step measurement).
+
+    Returns step(params, opt_state, pgs, rngs(K,), lr)
+    -> (params, opt_state, losses (K,), accs (K,)).
+    """
+    loss_fn = LOSS_REGISTRY[loss_name]
+
+    def compute_loss(params, pg, rng):
+        lc, lv = model.apply(params, pg, train=True, rng=rng)
+        ms, mt = seed_masks(pg)
+        loss = loss_fn(lc, lv, pg.y_s, pg.y_t, ms, mt)
+        return loss, (lc, lv, ms, mt)
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def scan_step(params, opt_state, pgs, rngs, lr):
+        def body(carry, xs):
+            params, opt_state = carry
+            pg, rng = xs if stacked else (pgs, xs)
+            (loss, (lc, lv, ms, mt)), grads = jax.value_and_grad(
+                compute_loss, has_aux=True)(params, pg, rng)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            updates = jax.tree.map(lambda u: -lr * u, updates)
+            params = optax.apply_updates(params, updates)
+            pc, pv = decode_topm_device(lc, lv, ms, mt, jnp.sum(ms))
+            correct = jnp.sum((pc == pg.y_s) & ms) + jnp.sum((pv == pg.y_t) & mt)
+            acc = correct / jnp.maximum(jnp.sum(ms) + jnp.sum(mt), 1)
+            return (params, opt_state), (loss, acc)
+
+        xs = (pgs, rngs) if stacked else rngs
+        (params, opt_state), (losses, accs) = jax.lax.scan(
+            body, (params, opt_state), xs)
+        return params, opt_state, losses, accs
+
+    return scan_step
+
+
 # ------------------------------------------------------------------ metrics IO
 class MetricsWriter:
     """jsonl metrics + optional TensorBoard (reference utils.py:395-415)."""
@@ -185,7 +233,13 @@ def run_exp(cfg: Config, dataset: LPDataset | None = None) -> str:
                 # device-resident cache: upload once, reuse across epochs
                 # (host->device transfers dominate step time on tunneled
                 # devices otherwise)
-                padded_cache[idx] = jax.device_put(pad_graph(g))
+                pg_new = jax.device_put(pad_graph(g))
+                if getattr(cfg, "cache_in_agg", 1):
+                    # precompute the input conv's (constant) aggregations
+                    # once per graph — exact, removes 2 traversals/step
+                    from ..ops.spmm import attach_input_agg
+                    pg_new = attach_input_agg(pg_new, jnp.dtype(model.dtype))
+                padded_cache[idx] = pg_new
             else:
                 padded_cache[idx] = None   # sampled path, not cached
         pg = padded_cache[idx]
@@ -222,6 +276,16 @@ def run_exp(cfg: Config, dataset: LPDataset | None = None) -> str:
         stack_size = dp_size * graph_batch
         logging.info("batched training: %d device(s) x %d graphs per step",
                      dp_size, graph_batch)
+
+    # --steps_per_call K: scan K sequential SGD steps (one same-bucket graph
+    # each) inside one jit dispatch — exact step semantics, K-fold fewer
+    # host dispatches. Composes with neither dp nor graph_batch (those
+    # already batch per dispatch).
+    scan_step, scan_k = None, max(int(getattr(cfg, "steps_per_call", 1)), 1)
+    if dp_step is None and scan_k > 1:
+        scan_step = make_scan_train_step(model, cfg.loss, optimizer,
+                                         stacked=True)
+        logging.info("scanned training: %d steps per dispatch", scan_k)
 
     loss_meter, acc_meter = AverageMeter(), AverageMeter()
     glstep = 0
@@ -279,6 +343,45 @@ def run_exp(cfg: Config, dataset: LPDataset | None = None) -> str:
                 params, opt_state, loss = dp_step(
                     params, opt_state, batches[int(bi)], sk, jnp.float32(lr))
                 log_step(0, float(loss), None)
+            for pg in singles:
+                key, sk = jax.random.split(key)
+                glstep += 1
+                params, opt_state, loss, acc = train_step(
+                    params, opt_state, pg, sk, jnp.float32(lr))
+                log_step(0, float(loss), float(acc))
+        elif scan_step is not None:
+            # group same-signature full graphs into scan stacks of scan_k
+            # (built once, like dp_batches; leftovers run per-step)
+            if "scan_batches" not in padded_cache:
+                from ..parallel.dp import stack_graphs
+                by_sig: dict = {}
+                singles = []
+                for gi in np.arange(n_train):
+                    pgs = [jax.device_get(p)
+                           for p in batches_for(int(gi), rng_np)]
+                    if len(pgs) == 1:
+                        sig = tuple(x.shape for x in jax.tree.leaves(pgs[0]))
+                        by_sig.setdefault(sig, []).append(pgs[0])
+                    else:
+                        singles.extend(pgs)
+                batches = []
+                for group in by_sig.values():
+                    while len(group) >= scan_k:
+                        batches.append(jax.device_put(
+                            stack_graphs(group[:scan_k])))
+                        group = group[scan_k:]
+                    singles.extend(group)
+                padded_cache["scan_batches"] = (batches, singles)
+            batches, singles = padded_cache["scan_batches"]
+            for bi in rng_np.permutation(len(batches)):
+                key, sk = jax.random.split(key)
+                sks = jax.random.split(sk, scan_k)
+                params, opt_state, losses, accs = scan_step(
+                    params, opt_state, batches[int(bi)], sks,
+                    jnp.float32(lr))
+                for lv_, av_ in zip(np.asarray(losses), np.asarray(accs)):
+                    glstep += 1
+                    log_step(0, float(lv_), float(av_))
             for pg in singles:
                 key, sk = jax.random.split(key)
                 glstep += 1

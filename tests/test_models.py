@@ -247,3 +247,103 @@ def test_remat_matches_plain(rng):
     np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
     for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5)
+
+
+@pytest.mark.parametrize("arch", [
+    "GCN_FC(8,8,hids=16,depth=3)",
+    "GCN_FC(8,8,hids=16,depth=3,dtype='bfloat16')",
+    "GCN(8,8,hids=16)",
+    "GCNDeeper(8,8,hids=16,depth=4)",
+])
+def test_input_agg_cache_exact(rng, arch):
+    """attach_input_agg must leave forward logits and parameter gradients
+    bit-identical: the input conv's aggregation is a per-graph constant
+    (ops/spmm.py attach_input_agg)."""
+    from lp_gnn_tpu.ops.spmm import attach_input_agg
+    pg = make_pg(rng, m=12, n=20, e=60)
+    model = build_model(arch)
+    pgc = attach_input_agg(pg, jnp.dtype(model.dtype))
+    assert pgc.in_agg_c is not None and pgc.in_agg_v is not None
+    params = model.init(jax.random.PRNGKey(2))
+
+    def loss(p, g):
+        lc, lv = model.apply(p, g, train=True, rng=jax.random.PRNGKey(5))
+        return jnp.sum(lc ** 2) + jnp.sum(lv ** 2)
+
+    l0, g0 = jax.value_and_grad(loss)(params, pg)
+    l1, g1 = jax.value_and_grad(loss)(params, pgc)
+    np.testing.assert_array_equal(np.asarray(l0), np.asarray(l1))
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_input_agg_dtype_mismatch_falls_back(rng):
+    """A cache in the wrong dtype must be ignored, not silently used."""
+    from lp_gnn_tpu.ops.spmm import attach_input_agg
+    pg = make_pg(rng)
+    model = build_model("GCN_FC(8,8,hids=16,depth=3,dtype='bfloat16')")
+    pgc = attach_input_agg(pg, jnp.float32)   # wrong dtype on purpose
+    params = model.init(jax.random.PRNGKey(0))
+    lc0, _ = model.apply(params, pg)
+    lc1, _ = model.apply(params, pgc)
+    np.testing.assert_array_equal(np.asarray(lc0), np.asarray(lc1))
+
+
+def test_train_step_traversal_count(rng):
+    """The traced train step runs 6 SpMM traversals without the input-agg
+    cache and 4 with it (bench.py's SPMM_PER_EDGE=6 accounting)."""
+    import lp_gnn_tpu.ops.spmm as spmm_mod
+    from lp_gnn_tpu.ops.spmm import attach_input_agg
+    from lp_gnn_tpu.train.trainer import make_optimizer, make_train_step
+
+    model = build_model("GCN_FC(8,8,hids=16,depth=3)")
+    params = model.init(jax.random.PRNGKey(0))
+    opt = make_optimizer("adam")
+
+    counts = {"fwd": 0, "bwd": 0}
+    orig_call, orig_bwd = spmm_mod._blocked_call, spmm_mod._blocked_spmm_bwd
+
+    def counted_call(pg, x, side):
+        counts["fwd"] += 1
+        return orig_call(pg, x, side)
+
+    def counted_bwd(num_blocks, res, g):
+        counts["bwd"] += 1
+        return orig_bwd(num_blocks, res, g)
+
+    spmm_mod._blocked_call = counted_call
+    spmm_mod.blocked_spmm.defvjp(spmm_mod._blocked_spmm_fwd, counted_bwd)
+    try:
+        for expect, attach in [(6, False), (4, True)]:
+            pg = make_pg(rng, m=12, n=20, e=60)
+            if attach:
+                pg = attach_input_agg(pg, jnp.dtype(model.dtype))
+            counts["fwd"] = counts["bwd"] = 0
+            step = make_train_step(model, "balanced", opt)
+            step.lower(params, opt.init(params), pg, jax.random.PRNGKey(0),
+                       jnp.float32(1e-3))
+            assert counts["fwd"] + counts["bwd"] == expect, counts
+    finally:
+        spmm_mod._blocked_call = orig_call
+        spmm_mod.blocked_spmm.defvjp(spmm_mod._blocked_spmm_fwd, orig_bwd)
+
+
+def test_input_agg_stacks_and_vmaps(rng):
+    """Graphs with attached input aggregations stack (dp/graph_batch) and
+    vmapped application equals per-graph application."""
+    from lp_gnn_tpu.ops.spmm import attach_input_agg
+    from lp_gnn_tpu.parallel.dp import stack_graphs
+    model = build_model("GCN_FC(8,8,hids=16,depth=3)")
+    params = model.init(jax.random.PRNGKey(0))
+    pgs = [attach_input_agg(make_pg(np.random.RandomState(s), m=12, n=20,
+                                    e=60), jnp.dtype(model.dtype))
+           for s in range(3)]
+    pgs = [jax.tree.map(np.asarray, p) for p in pgs]
+    batch = stack_graphs(pgs)
+    lcb, lvb = jax.vmap(lambda g: model.apply(params, g))(batch)
+    for i, pg in enumerate(pgs):
+        lc, lv = model.apply(params, pg)
+        np.testing.assert_allclose(np.asarray(lcb[i]), np.asarray(lc),
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(lvb[i]), np.asarray(lv),
+                                   atol=1e-5)

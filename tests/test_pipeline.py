@@ -168,3 +168,64 @@ def test_train_dp_times_graph_batch(tiny_cfg):
     cfg.finalize()
     ckpt = run_exp(cfg)
     assert osp.exists(ckpt)
+
+
+def test_train_steps_per_call(tiny_cfg):
+    """--steps_per_call 2 scans two sequential SGD steps per dispatch."""
+    import dataclasses
+    from lp_gnn_tpu.train.trainer import run_exp
+    cfg = dataclasses.replace(tiny_cfg, steps_per_call=2, epochs=3,
+                              exp_nm="t-scan")
+    cfg.finalize()
+    ckpt = run_exp(cfg)
+    assert osp.exists(ckpt)
+
+
+def test_scan_step_matches_sequential():
+    """make_scan_train_step(stacked=True/False) must produce the same
+    params/losses as the equivalent sequence of make_train_step calls."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from lp_gnn_tpu.models.gcn import build_model
+    from lp_gnn_tpu.train.trainer import (make_optimizer, make_train_step,
+                                          make_scan_train_step)
+    from lp_gnn_tpu.parallel.dp import stack_graphs
+    from tests.test_models import make_pg
+
+    model = build_model("GCN_FC(8,8,hids=16,depth=3)")
+    opt = make_optimizer("adam")
+    pgs = [jax.tree.map(np.asarray, make_pg(np.random.RandomState(s),
+                                            m=12, n=20, e=60))
+           for s in range(3)]
+    rngs = jax.random.split(jax.random.PRNGKey(7), 3)
+    lr = jnp.float32(1e-3)
+
+    def run_sequential(graphs):
+        params = model.init(jax.random.PRNGKey(0))
+        ostate = opt.init(params)
+        step = make_train_step(model, "balanced", opt)
+        losses = []
+        for pg, r in zip(graphs, rngs):
+            params, ostate, loss, _ = step(params, ostate, pg, r, lr)
+            losses.append(float(loss))
+        return params, losses
+
+    # stacked=True: one graph per scanned step
+    p_seq, l_seq = run_sequential(pgs)
+    params = model.init(jax.random.PRNGKey(0))
+    scan = make_scan_train_step(model, "balanced", opt, stacked=True)
+    p_scan, _, losses, _ = scan(params, opt.init(params), stack_graphs(pgs),
+                                rngs, lr)
+    np.testing.assert_allclose(np.asarray(losses), l_seq, rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(p_scan), jax.tree.leaves(p_seq)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+    # stacked=False: same graph every scanned step (bench.py path)
+    p_seq1, l_seq1 = run_sequential([pgs[0]] * 3)
+    params = model.init(jax.random.PRNGKey(0))
+    scan1 = make_scan_train_step(model, "balanced", opt, stacked=False)
+    p_scan1, _, losses1, _ = scan1(params, opt.init(params), pgs[0], rngs, lr)
+    np.testing.assert_allclose(np.asarray(losses1), l_seq1, rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(p_scan1), jax.tree.leaves(p_seq1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
