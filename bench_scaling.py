@@ -48,8 +48,8 @@ def main():
     B.E, B.M, B.N, B.HIDS = args.edges, args.cons, args.vars, args.hids
     from lp_gnn_tpu.models.gcn import build_model
     from lp_gnn_tpu.parallel.mesh import make_mesh
-    from lp_gnn_tpu.parallel.edge_partition import (partition_graph,
-                                                    make_dist_train_step)
+    from lp_gnn_tpu.parallel.edge_partition import (
+        partition_graph, make_dist_train_step, attach_dist_input_agg)
     from lp_gnn_tpu.train.trainer import make_optimizer
 
     pg = make_graph()
@@ -61,7 +61,7 @@ def main():
     d = 1
     while d <= want:
         mesh = make_mesh({"edge": d}, devices=jax.devices()[:d])
-        dg = partition_graph(pg, d)
+        dg = attach_dist_input_agg(partition_graph(pg, d), mesh)
         step = jax.jit(make_dist_train_step("balanced", optimizer, mesh,
                                             dp_rate=0.0))
         params = params0

@@ -29,7 +29,8 @@ from ..data.batching import PaddedGraph
 def partition_batch(pgs: list[PaddedGraph], n_edge: int) -> dict:
     """Partition each same-bucket graph and stack: leaves (B, D, ...)."""
     dgs = [partition_graph(pg, n_edge) for pg in pgs]
-    return {f: np.stack([getattr(dg, f) for dg in dgs]) for f in SHARD_FIELDS}
+    return {f: np.stack([getattr(dg, f) for dg in dgs])
+            for f in SHARD_FIELDS if getattr(dgs[0], f) is not None}
 
 
 def make_dp_edge_train_step(loss_name: str, optimizer, mesh: Mesh,
@@ -71,7 +72,7 @@ def make_dp_edge_train_step(loss_name: str, optimizer, mesh: Mesh,
         rngs = jax.random.split(rng, nb)
         fn = shard_map(
             body, mesh=mesh,
-            in_specs=(P(), {f: P(dp_ax, edge_ax) for f in SHARD_FIELDS},
+            in_specs=(P(), {f: P(dp_ax, edge_ax) for f in batch},
                       P(dp_ax), P()),
             out_specs=(P(), P()), check_vma=False)
         loss, grads = fn(params, batch, rngs, lr)

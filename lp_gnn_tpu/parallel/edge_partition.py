@@ -48,7 +48,8 @@ from ..models.layers import linear_apply, add_knowledge, dropout
 SHARD_FIELDS = ["row_r", "col_r", "val_r", "row_c", "col_c", "val_c",
                 "c_feas", "y_s", "cons_mask", "v_feas", "y_t", "vars_mask",
                 "blkr_src", "blkr_dst", "blkr_val", "blkr_out",
-                "blkc_src", "blkc_dst", "blkc_val", "blkc_out"]
+                "blkc_src", "blkc_dst", "blkc_val", "blkc_out",
+                "in_agg_c", "in_agg_v"]
 
 
 @partial(jax.tree_util.register_dataclass,
@@ -83,6 +84,11 @@ class PartitionedGraph:
     blkc_dst: np.ndarray | None = None
     blkc_val: np.ndarray | None = None
     blkc_out: np.ndarray | None = None
+    # precomputed input-conv aggregations (attach_dist_input_agg): the raw
+    # node features are per-graph constants, so the input conv's
+    # all_gather + both SpMMs + psum_scatter can run once, not every step
+    in_agg_c: np.ndarray | None = None   # (D, Ms, 8)
+    in_agg_v: np.ndarray | None = None   # (D, Ns, 8)
     n_shards: int = 1
 
     @property
@@ -192,11 +198,9 @@ def partition_graph(pg: PaddedGraph, n_shards: int) -> PartitionedGraph:
 
 
 # ----------------------------------------------------------- per-shard kernels
-def _dist_bidir_conv(p, shard, left_local, right_local, ms, n_pad, ax):
-    """Distributed GraphConvTwoDirection (models/layers.py semantics).
-
-    Uses the chunked MXU blocked SpMM (ops/spmm.py) shard-locally when the
-    partition carries block layouts, else sorted segment-sums."""
+def _dist_aggs(shard, left_local, right_local, ms, n_pad, ax):
+    """Both aggregation directions of one distributed bidir conv:
+    agg_c = (A right)_local rows, agg_v = reduce-scattered (A^T left)."""
     from ..ops.spmm import blocked_spmm
     right_full = jax.lax.all_gather(right_local, ax, axis=0, tiled=True)
     use_blocked = shard.get("blkr_src") is not None
@@ -212,8 +216,6 @@ def _dist_bidir_conv(p, shard, left_local, right_local, ms, n_pad, ax):
             right_full.dtype)
         agg_c = jax.ops.segment_sum(msg, shard["row_r"], num_segments=ms,
                                     indices_are_sorted=True)
-    left_new = linear_apply(p["r2l"]["rel"], agg_c) + \
-        linear_apply(p["r2l"]["root"], left_local)
     # vars <- cons: partial sums over the full var axis, then reduce-scatter
     if use_blocked:
         tr = (shard["blkr_src"], shard["blkr_dst"], shard["blkr_val"],
@@ -227,6 +229,22 @@ def _dist_bidir_conv(p, shard, left_local, right_local, ms, n_pad, ax):
         part = jax.ops.segment_sum(msg2, shard["col_c"], num_segments=n_pad,
                                    indices_are_sorted=True)
     agg_v = jax.lax.psum_scatter(part, ax, scatter_dimension=0, tiled=True)
+    return agg_c, agg_v
+
+
+def _dist_bidir_conv(p, shard, left_local, right_local, ms, n_pad, ax,
+                     aggs=None):
+    """Distributed GraphConvTwoDirection (models/layers.py semantics).
+
+    Uses the chunked MXU blocked SpMM (ops/spmm.py) shard-locally when the
+    partition carries block layouts, else sorted segment-sums. ``aggs``
+    short-circuits both SpMMs and both collectives with precomputed
+    (agg_c, agg_v) — used for the input conv whose aggregation is a
+    per-graph constant (attach_dist_input_agg)."""
+    agg_c, agg_v = aggs if aggs is not None else _dist_aggs(
+        shard, left_local, right_local, ms, n_pad, ax)
+    left_new = linear_apply(p["r2l"]["rel"], agg_c) + \
+        linear_apply(p["r2l"]["root"], left_local)
     right_new = linear_apply(p["l2r"]["rel"], agg_v) + \
         linear_apply(p["l2r"]["root"], right_local)
     return left_new, right_new
@@ -237,8 +255,11 @@ def dist_gcn_fc_apply(params, shard, ms, n_pad, ax, dp_rate=0.1,
     """Distributed GCN_FC forward on one shard (models/gcn.py make_gcn_fc)."""
     x_left = shard["c_feas"]
     x_right = shard["v_feas"]
+    aggs = None
+    if shard.get("in_agg_c") is not None and shard.get("in_agg_v") is not None:
+        aggs = (shard["in_agg_c"], shard["in_agg_v"])
     left, right = _dist_bidir_conv(params["conv1"], shard, x_left, x_right,
-                                   ms, n_pad, ax)
+                                   ms, n_pad, ax, aggs=aggs)
     left, right = jax.nn.relu(left), jax.nn.relu(right)
     n_hidden = len(params["layers"])
     if rng is None:
@@ -302,11 +323,35 @@ DIST_LOSSES = {"balanced": dist_balanced_loss, "unbalanced": dist_unbalanced_los
 
 # ------------------------------------------------------------------- wrappers
 def _data_dict(dg: PartitionedGraph):
-    return {f: getattr(dg, f) for f in SHARD_FIELDS}
+    return {f: getattr(dg, f) for f in SHARD_FIELDS
+            if getattr(dg, f) is not None}
 
 
 def _unshard(d):
     return {k: v[0] for k, v in d.items()}
+
+
+def attach_dist_input_agg(dg: PartitionedGraph, mesh: Mesh,
+                          ax: str = "edge") -> PartitionedGraph:
+    """Precompute the input conv's aggregations once for a partitioned
+    graph — the distributed analog of ops/spmm.py attach_input_agg. Runs
+    the exact same all_gather/SpMM/psum_scatter the input conv would, so
+    subsequent steps are bit-identical while skipping 2 of the 6 per-step
+    edge traversals *and* the input conv's two collectives."""
+    ms, n_pad = dg.ms, dg.n_pad
+    data = _data_dict(dg)
+
+    def body(data):
+        shard = _unshard(data)
+        agg_c, agg_v = _dist_aggs(shard, shard["c_feas"], shard["v_feas"],
+                                  ms, n_pad, ax)
+        return agg_c[None], agg_v[None]
+
+    fn = shard_map(body, mesh=mesh,
+                   in_specs=({f: P(ax) for f in data},),
+                   out_specs=(P(ax), P(ax)), check_vma=False)
+    agg_c, agg_v = fn(data)
+    return dataclasses.replace(dg, in_agg_c=agg_c, in_agg_v=agg_v)
 
 
 def dist_apply(params, dg: PartitionedGraph, mesh: Mesh, ax: str = "edge",
@@ -314,6 +359,7 @@ def dist_apply(params, dg: PartitionedGraph, mesh: Mesh, ax: str = "edge",
     """Full-graph distributed forward. Returns gathered logits
     ((m_pad_total, 3), (n_pad_total, 3))."""
     ms, n_pad = dg.ms, dg.n_pad
+    data = _data_dict(dg)
 
     def body(params, data):
         shard = _unshard(data)
@@ -322,9 +368,9 @@ def dist_apply(params, dg: PartitionedGraph, mesh: Mesh, ax: str = "edge",
         return lc[None], lv[None]
 
     fn = shard_map(body, mesh=mesh,
-                   in_specs=(P(), {f: P(ax) for f in SHARD_FIELDS}),
+                   in_specs=(P(), {f: P(ax) for f in data}),
                    out_specs=(P(ax), P(ax)), check_vma=False)
-    lc, lv = fn(params, _data_dict(dg))
+    lc, lv = fn(params, data)
     return lc.reshape(-1, 3), lv.reshape(-1, 3)
 
 
@@ -357,11 +403,12 @@ def make_dist_train_step(loss_name: str, optimizer, mesh: Mesh,
         return loss * n_shards, grads
 
     def train_step(params, opt_state, dg: PartitionedGraph, rng, lr):
+        data = _data_dict(dg)
         fn = shard_map(partial(body, n_shards=dg.n_shards), mesh=mesh,
-                       in_specs=(P(), {f: P(ax) for f in SHARD_FIELDS},
+                       in_specs=(P(), {f: P(ax) for f in data},
                                  P(), P()),
                        out_specs=(P(), P()), check_vma=False)
-        loss, grads = fn(params, _data_dict(dg), rng, lr)
+        loss, grads = fn(params, data, rng, lr)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         updates = jax.tree.map(lambda u: -lr * u, updates)
         params = optax.apply_updates(params, updates)

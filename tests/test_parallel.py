@@ -140,3 +140,31 @@ def test_dist_inference_via_model_inference(rng):
     lc, lv = model_inference(model, params, g, edge_num_thresh=0, mesh=mesh)
     np.testing.assert_allclose(lc, lc_ref, atol=5e-4)
     np.testing.assert_allclose(lv, lv_ref, atol=5e-4)
+
+
+def test_dist_input_agg_cache_exact(rng):
+    """attach_dist_input_agg must leave the distributed forward and one
+    train step bit-identical (the input conv's aggregation is constant)."""
+    from lp_gnn_tpu.parallel.edge_partition import attach_dist_input_agg
+    pg = make_pg(rng, m=24, n=40, e=150)
+    model = build_model("GCN_FC(8,8,hids=16,depth=3)")
+    params = model.init(jax.random.PRNGKey(0))
+    mesh = make_mesh({"edge": 4})
+    dg = partition_graph(pg, 4)
+    dgc = attach_dist_input_agg(dg, mesh)
+    assert dgc.in_agg_c is not None and dgc.in_agg_v is not None
+
+    lc0, lv0 = dist_apply(params, dg, mesh)
+    lc1, lv1 = dist_apply(params, dgc, mesh)
+    np.testing.assert_array_equal(np.asarray(lc0), np.asarray(lc1))
+    np.testing.assert_array_equal(np.asarray(lv0), np.asarray(lv1))
+
+    optimizer = make_optimizer("sgd")
+    step = make_dist_train_step("balanced", optimizer, mesh, dp_rate=0.0)
+    p0, _, l0 = step(params, optimizer.init(params), dg,
+                     jax.random.PRNGKey(1), jnp.float32(1e-3))
+    p1, _, l1 = step(params, optimizer.init(params), dgc,
+                     jax.random.PRNGKey(1), jnp.float32(1e-3))
+    np.testing.assert_array_equal(np.asarray(l0), np.asarray(l1))
+    for a, b in zip(jax.tree.leaves(p0), jax.tree.leaves(p1)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
