@@ -256,3 +256,17 @@ def pad_graph(g: BipartiteGraph, m_pad: int | None = None, n_pad: int | None = N
 def _chunk_ptr(blk_out: np.ndarray, num_blocks: int) -> np.ndarray:
     from ..ops.pallas_spmm import chunk_ptr_from_out
     return chunk_ptr_from_out(blk_out, num_blocks)
+
+
+def strip_coo(pg: PaddedGraph) -> PaddedGraph:
+    """Drop the plain COO edge arrays from a graph that carries the blocked
+    layout — the blocked SpMM path (and its transpose VJP) never reads
+    them, and at 10^8 edges the six arrays cost ~2.4 GB of HBM. The edge
+    count stays recorded in ``nnz``. Only do this for device-resident
+    training graphs; host-side consumers (partitioning, sampling, export)
+    need the COO."""
+    assert pg.blkr_src is not None and pg.blkc_src is not None
+    z = np.zeros(1, np.int32)
+    zf = np.zeros(1, np.float32)
+    return dataclasses.replace(pg, row_r=z, col_r=z, val_r=zf,
+                               row_c=z, col_c=z, val_c=zf)

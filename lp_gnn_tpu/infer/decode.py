@@ -101,7 +101,9 @@ def decode_topm_device(logit_cons, logit_vars, cons_mask, vars_mask, m):
         jnp.where(vars_mask, pr_v[:, 1], -jnp.inf),
     ])
     order = jnp.argsort(-key, stable=True)
-    rank = jnp.zeros_like(order).at[order].set(jnp.arange(key.shape[0]))
+    # inverse permutation via a second argsort — scatter-free (an
+    # .at[order].set(iota) scatter serializes on TPU: ~10 s at 4e5 nodes)
+    rank = jnp.argsort(order)
     is_basic = rank < m
     p0 = jnp.concatenate([pr_c[:, 0], pr_v[:, 0]])
     p2 = jnp.concatenate([pr_c[:, 2], pr_v[:, 2]])
