@@ -70,6 +70,12 @@ def _cat(*args) -> np.ndarray:
     return np.concatenate(cols, axis=1)
 
 
+def concatenate_on_lst_dim(*args) -> np.ndarray:
+    """Reference utils.py:377-383: column-stack 1-D/2-D arrays on the last
+    dim (public alias of the feature builder's internal ``_cat``)."""
+    return _cat(*args)
+
+
 def cvt_to_features(c, b_l, A, b_u, l, u):
     """Build (v_features (n,8), c_features (m,8)) — reference dataset.py:79-96."""
     nrows, ncols = A.shape

@@ -44,3 +44,7 @@ def timed(func):
         return result
 
     return wrap
+
+
+# reference utils.py:500-510 name
+timer_func = timed
