@@ -165,3 +165,30 @@ def test_blocked_spmm_scan_matches(rng):
 
     g_ref = np.asarray(jax.grad(f2)(x))
     np.testing.assert_allclose(g_scan, g_ref, atol=1e-3)
+
+
+def test_strip_coo_train_step_runs(rng):
+    """Graphs with COO arrays stripped (device memory diet for 1e8-edge
+    training, data/batching.py strip_coo) must still train through the
+    blocked path and produce the same loss."""
+    import jax
+    import jax.numpy as jnp
+    from lp_gnn_tpu.data.batching import strip_coo
+    from lp_gnn_tpu.models.gcn import build_model
+    from lp_gnn_tpu.ops.spmm import attach_input_agg
+    from lp_gnn_tpu.train.trainer import make_optimizer, make_train_step
+    from tests.test_models import make_pg
+
+    pg = make_pg(rng, m=12, n=20, e=60)
+    model = build_model("GCN_FC(8,8,hids=16,depth=3)")
+    opt = make_optimizer("adam")
+    step = make_train_step(model, "balanced", opt)
+    r = jax.random.PRNGKey(3)
+    lr = jnp.float32(1e-3)
+    # fresh params per call: the train step donates params/opt_state
+    p0 = model.init(jax.random.PRNGKey(0))
+    _, _, loss0, _ = step(p0, opt.init(p0), pg, r, lr)
+    pgs = attach_input_agg(strip_coo(pg), jnp.float32)
+    p1 = model.init(jax.random.PRNGKey(0))
+    _, _, loss1, _ = step(p1, opt.init(p1), pgs, r, lr)
+    np.testing.assert_allclose(float(loss0), float(loss1), rtol=1e-6)
