@@ -40,7 +40,7 @@ constexpr double FEAS_TOL = 1e-7;
 constexpr double DUAL_TOL = 1e-7;
 constexpr double PIVOT_TOL = 1e-8;
 constexpr double ZERO_TOL = 1e-12;
-constexpr int REFRESH = 60;
+constexpr int REFRESH = 100;
 
 enum Status { LL = 0, BASIC = 1, UL = 2, FZ = 3 };
 enum Result { OPTIMAL = 0, INFEASIBLE = 1, UNBOUNDED = 2, ITERLIMIT = 3,
@@ -65,6 +65,10 @@ struct Solver {
   // column storage of W = [A -I]: structural cols CSC, logical col j=n+i
   std::vector<int> Ap, Ai;
   std::vector<double> Ax;
+  // row storage of A (CSR) for hypersparse pricing: alpha = rho^T W touches
+  // only the columns of rows in rho's support
+  std::vector<int> Rp, Rj;
+  std::vector<double> Rx;
   std::vector<double> cost, lo, hi;   // length N (phase-2 cost; logicals 0)
   std::vector<int> basic;             // m basis variable indices
   std::vector<int> pos_in_basis;      // N: -1 or basis position
@@ -80,6 +84,8 @@ struct Solver {
   std::vector<int> pivrow;            // position -> original row
   std::vector<int> rowpos;            // original row -> position (-1 unset)
   std::vector<Eta> etas;
+  // scratch (avoids per-call allocation in the ftran/btran hot path)
+  mutable std::vector<double> ft_z, bt_t, bt_out;
   // stats
   long long niter = 0;
   int nrepair = 0;
@@ -107,6 +113,13 @@ struct Solver {
     touched.reserve(64);
     std::vector<char> mark(M, 0);
     std::vector<std::pair<int, double>> colbuf;
+    // symbolic-reach scratch (Gilbert-Peierls): which pivot positions the
+    // current column actually eliminates with, found by DFS over L's
+    // pattern instead of scanning every prior position
+    std::vector<char> vis(M, 0);
+    std::vector<int> reach;
+    reach.reserve(64);
+    std::vector<std::pair<int, int>> dstack;  // (position, next edge index)
     Lcols.assign(M, {});
     Ucols.assign(M, {});
     Udiag.assign(M, 0.0);
@@ -123,9 +136,36 @@ struct Solver {
           w[e.first] = e.second;
           if (!mark[e.first]) { mark[e.first] = 1; touched.push_back(e.first); }
         }
-        // eliminate with existing pivot columns (in position order); the
-        // touched list grows as L fills in
-        for (int p = 0; p < k; ++p) {
+        // symbolic reach: every pivot position whose row can become nonzero
+        // during this column's elimination (edges p -> rows of Lcols[p],
+        // which always point to later positions)
+        reach.clear();
+        for (auto& e : colbuf) {
+          int p0 = rowpos[e.first];
+          if (p0 < 0 || vis[p0]) continue;
+          vis[p0] = 1;
+          dstack.push_back({p0, 0});
+          while (!dstack.empty()) {
+            auto& fr = dstack.back();
+            int p = fr.first;
+            if (fr.second < (int)Lcols[p].size()) {
+              int r2 = Lcols[p][fr.second++].first;
+              int p2 = rowpos[r2];
+              if (p2 >= 0 && !vis[p2]) {
+                vis[p2] = 1;
+                dstack.push_back({p2, 0});
+              }
+            } else {
+              reach.push_back(p);
+              dstack.pop_back();
+            }
+          }
+        }
+        // eliminate in position order (edges only go forward, so an
+        // ascending sort of the reach is a valid topological order)
+        std::sort(reach.begin(), reach.end());
+        for (int p : reach) {
+          vis[p] = 0;
           double zp = w[pivrow[p]];
           if (zp == 0.0) continue;
           for (auto& e : Lcols[p]) {
@@ -136,13 +176,32 @@ struct Solver {
             w[e.first] -= zp * e.second;
           }
         }
-        // pivot: largest |w| over unpivoted rows
+        // pivot: threshold partial pivoting with a static Markowitz bias —
+        // among unpivoted rows within 0.1x of the largest |w|, prefer the
+        // structurally sparsest row (fewest nonzeros in A), which curbs
+        // fill-in in L/U and so the cost of every later ftran/btran
         int prow_k = -1;
         double best = 0.0;
         for (int r : touched) {
           if (rowpos[r] >= 0) continue;
           double v = std::fabs(w[r]);
           if (v > best) { best = v; prow_k = r; }
+        }
+        if (prow_k >= 0 && best >= PIVOT_TOL && !Rp.empty()) {
+          const double thresh = 0.1 * best;
+          int bestdeg = (int)(Rp[prow_k + 1] - Rp[prow_k]);
+          double bestv = best;
+          for (int r : touched) {
+            if (rowpos[r] >= 0) continue;
+            double v = std::fabs(w[r]);
+            if (v < thresh) continue;
+            int deg = (int)(Rp[r + 1] - Rp[r]);
+            if (deg < bestdeg || (deg == bestdeg && v > bestv)) {
+              bestdeg = deg;
+              bestv = v;
+              prow_k = r;
+            }
+          }
         }
         if (best < PIVOT_TOL) {
           // dependent column: swap in a nonbasic logical of an unpivoted
@@ -210,7 +269,8 @@ struct Solver {
   void ftran(std::vector<double>& v) const {
     const int M = m;
     // z = Lfull^{-1} rhs  (forward over pivot positions)
-    std::vector<double> z(M);
+    ft_z.resize(M);
+    std::vector<double>& z = ft_z;
     for (int p = 0; p < M; ++p) {
       double zp = v[pivrow[p]];
       z[p] = zp;
@@ -244,14 +304,16 @@ struct Solver {
       v[it->r] = s / it->wr;
     }
     // U^T t = v  (forward; uses U columns directly)
-    std::vector<double> t(M);
+    bt_t.resize(M);
+    std::vector<double>& t = bt_t;
     for (int k = 0; k < M; ++k) {
       double s = v[k];
       for (auto& e : Ucols[k]) s -= e.second * t[e.first];
       t[k] = s / Udiag[k];
     }
     // Lfull^T out = t  (backward; uses L columns directly)
-    std::vector<double> out(M, 0.0);
+    bt_out.assign(M, 0.0);
+    std::vector<double>& out = bt_out;
     for (int p = M - 1; p >= 0; --p) {
       double s = t[p];
       for (auto& e : Lcols[p]) s -= e.second * out[e.first];
@@ -451,6 +513,21 @@ struct Solver {
     }
   }
 
+  // Reduced costs d_j = c_j - y.W_j maintained incrementally across dual
+  // pivots (d'_j = d_j - theta_d * alpha_j); rebuilt from a fresh BTRAN after
+  // every refactorization to bound drift.
+  std::vector<double> d;
+  void recompute_d() {
+    std::vector<double> y(m);
+    for (int k = 0; k < m; ++k) y[k] = cost[basic[k]];
+    btran(y);
+    d.assign(N, 0.0);
+    for (int j = 0; j < N; ++j) {
+      if (vstat[j] == BASIC) continue;
+      d[j] = reduced_cost(j, y, cost);
+    }
+  }
+
   // ------------------------------------------------------------------ dual
   int dual() {
     // Dual phase 1 by COST SHIFTING: every dual-infeasible nonbasic gets its
@@ -476,10 +553,17 @@ struct Solver {
       }
     }
     compute_xb();
+    recompute_d();
 
     std::vector<double> rho(m), w(m);
     std::vector<std::pair<int, double>> colbuf;
-    std::vector<double> alpha(N);
+    // hypersparse pricing scratch: alpha values + marks over touched columns
+    std::vector<double> alpha(N, 0.0);
+    std::vector<char> amark(N, 0);
+    std::vector<int> atouch;
+    atouch.reserve(256);
+    std::vector<int> support;
+    support.reserve(256);
     // dual devex reference weights (Forrest-Goldfarb approximation of
     // ||B^-T e_i||^2): leaving row maximizes violation^2 / gamma_i
     std::vector<double> gamma(m, 1.0);
@@ -502,40 +586,46 @@ struct Solver {
         if (score > best) { best = score; rlv = k; sgn = v1 > v2 ? +1 : -1; }
       }
       if (rlv < 0) { res = OPTIMAL; break; }
-      // rho = B^-T e_r ; alpha_j = rho . W_j
+      // rho = B^-T e_r ; alpha_j = rho . W_j computed hypersparsely: only
+      // columns intersecting rho's row support can have alpha != 0, so walk
+      // A row-wise (CSR) over that support instead of scanning all N columns
       std::fill(rho.begin(), rho.end(), 0.0);
       rho[rlv] = 1.0;
       btran(rho);
-      // duals y for reduced costs
-      for (int k = 0; k < m; ++k) y[k] = cost[basic[k]];
-      btran(y);
+      support.clear();
+      for (int i = 0; i < m; ++i)
+        if (std::fabs(rho[i]) > ZERO_TOL) support.push_back(i);
+      for (int j : atouch) amark[j] = 0;  // clear previous iteration's marks
+      atouch.clear();
+      for (int i : support) {
+        double ri = rho[i];
+        for (int k2 = Rp[i]; k2 < Rp[i + 1]; ++k2) {
+          int j = Rj[k2];
+          if (!amark[j]) { amark[j] = 1; alpha[j] = 0.0; atouch.push_back(j); }
+          alpha[j] += ri * Rx[k2];
+        }
+        int jlog = n + i;  // logical column of row i: W_{n+i} = -e_i
+        if (!amark[jlog]) {
+          amark[jlog] = 1; alpha[jlog] = 0.0; atouch.push_back(jlog);
+        }
+        alpha[jlog] -= ri;
+      }
       // dual ratio test with bound flipping (BFRT): walk the eligible
       // breakpoints in ratio order; while the improvement slope stays
       // positive past a BOXED candidate, flip it instead of pivoting on it.
       struct Cand { double ratio, absa; int j; double range; };
       std::vector<Cand> cands;
       cands.reserve(64);
-      for (int j = 0; j < N; ++j) {
+      for (int j : atouch) {
         if (vstat[j] == BASIC || lo[j] == hi[j]) continue;
-        // alpha_j = rho . W_j
-        double aj;
-        {
-          double s = 0.0;
-          if (j < n) {
-            for (int k2 = Ap[j]; k2 < Ap[j + 1]; ++k2) s += rho[Ai[k2]] * Ax[k2];
-          } else {
-            s = -rho[j - n];
-          }
-          aj = s;
-        }
+        double aj = alpha[j];
         double e = sgn * aj;
         bool elig = false;
         if (vstat[j] == LL && e < -PIVOT_TOL) elig = true;       // d>=0, x can rise
         else if (vstat[j] == UL && e > PIVOT_TOL) elig = true;   // d<=0, x can fall
         else if (vstat[j] == FZ && std::fabs(e) > PIVOT_TOL) elig = true;
         if (!elig) continue;
-        double d = reduced_cost(j, y, cost);
-        double ratio = std::fabs(d) / std::fabs(aj);
+        double ratio = std::fabs(d[j]) / std::fabs(aj);
         double range = (vstat[j] != FZ && std::isfinite(lo[j]) &&
                         std::isfinite(hi[j])) ? hi[j] - lo[j] : INF;
         cands.push_back({ratio, std::fabs(aj), j, range});
@@ -552,22 +642,32 @@ struct Solver {
         }
         q = pick->j;
       } else {
-        std::sort(cands.begin(), cands.end(),
-                  [](const Cand& a, const Cand& b) { return a.ratio < b.ratio; });
+        // walk breakpoints in increasing ratio via a min-heap: BFRT usually
+        // consumes only a few breakpoints, so heapify (O(C)) + a few pops
+        // beats sorting the full candidate list
+        auto heap_cmp = [](const Cand& a, const Cand& b) {
+          return a.ratio > b.ratio;
+        };
+        std::make_heap(cands.begin(), cands.end(), heap_cmp);
         // `best` held violation^2/gamma for the chosen row: recover |viol|
         double slope = std::sqrt(best * gamma[rlv]);
-        for (size_t ci = 0; ci < cands.size(); ++ci) {
-          const Cand& cd = cands[ci];
+        size_t nleft = cands.size();
+        while (nleft > 0) {
+          std::pop_heap(cands.begin(), cands.begin() + nleft, heap_cmp);
+          const Cand cd = cands[--nleft];
           double drop = std::isfinite(cd.range) ? cd.absa * cd.range : INF;
-          bool last_group = ci + 1 == cands.size();
-          if (drop >= slope || last_group) {
+          if (drop >= slope || nleft == 0) {
             // pivoting here keeps the dual step profitable
-            // prefer the largest pivot among near-equal ratios
+            // prefer the largest pivot among near-equal ratios (the
+            // remaining heap prefix is unordered — scan it once)
             q = cd.j;
             double bestpiv = cd.absa;
-            for (size_t cj = ci + 1; cj < cands.size() &&
-                 cands[cj].ratio < cd.ratio + 1e-9; ++cj) {
-              if (cands[cj].absa > bestpiv) { bestpiv = cands[cj].absa; q = cands[cj].j; }
+            for (size_t cj = 0; cj < nleft; ++cj) {
+              if (cands[cj].ratio < cd.ratio + 1e-9 &&
+                  cands[cj].absa > bestpiv) {
+                bestpiv = cands[cj].absa;
+                q = cands[cj].j;
+              }
             }
             break;
           }
@@ -585,6 +685,7 @@ struct Solver {
       if (std::fabs(w[rlv]) < PIVOT_TOL) {
         if (factorize(false) != 0) { res = NUMFAIL; break; }
         compute_xb();
+        recompute_d();
         if (++stall > 50) { res = NUMFAIL; break; }
         continue;   // flips NOT applied — statuses untouched
       }
@@ -604,10 +705,44 @@ struct Solver {
       }
       ++niter;
       int jl = basic[rlv];
+      // incremental reduced-cost update: y' = y + theta_d * rho gives
+      // d'_j = d_j - theta_d * alpha_j (only touched columns change);
+      // the entering q lands on exactly 0, the leaving jl on -theta_d
+      // (alpha_jl = rho . B e_rlv = 1 by construction)
+      {
+        double theta_d = d[q] / alpha[q];
+        for (int j : atouch) {
+          if (vstat[j] == BASIC) continue;
+          d[j] -= theta_d * alpha[j];
+        }
+        d[q] = 0.0;
+        d[jl] = -theta_d;
+      }
       double target = (sgn > 0) ? lo[jl] : hi[jl];
       double t = (x[jl] - target) / w[rlv];  // step along -w adds to x_q?
-      // x_B' = x_B - t*w ; x_q' = x_q + t  solves  B x_B + a_q x_q const
-      for (int k = 0; k < m; ++k) x[basic[k]] -= t * w[k];
+      // one pass over w's nonzeros does the primal update, the devex weight
+      // update, and the eta build (previously three full-length passes)
+      {
+        double wr2 = w[rlv] * w[rlv];
+        double gr = gamma[rlv];
+        Eta e;
+        e.r = rlv;
+        e.wr = w[rlv];
+        for (int k = 0; k < m; ++k) {
+          double wk = w[k];
+          if (wk == 0.0) continue;
+          // x_B' = x_B - t*w ; x_q' = x_q + t  solves  B x_B + a_q x_q const
+          x[basic[k]] -= t * wk;
+          if (k == rlv) continue;
+          if (std::fabs(wk) > ZERO_TOL) {
+            double cand = (wk * wk / wr2) * gr;
+            if (cand > gamma[k]) gamma[k] = cand;
+            e.w.push_back({k, wk});
+          }
+        }
+        gamma[rlv] = std::max(gr / wr2, 1.0);
+        etas.push_back(std::move(e));
+      }
       x[q] += t;
       vstat[jl] = (sgn > 0) ? LL : UL;
       x[jl] = target;
@@ -615,24 +750,13 @@ struct Solver {
       basic[rlv] = q;
       pos_in_basis[q] = rlv;
       vstat[q] = BASIC;
-      // devex weight update from the FTRAN column
-      {
-        double wr2 = w[rlv] * w[rlv];
-        double gr = gamma[rlv];
-        for (int k = 0; k < m; ++k) {
-          if (k == rlv || std::fabs(w[k]) < ZERO_TOL) continue;
-          double cand = (w[k] * w[k] / wr2) * gr;
-          if (cand > gamma[k]) gamma[k] = cand;
-        }
-        gamma[rlv] = std::max(gr / wr2, 1.0);
-      }
-      push_eta(rlv, w);
       if (std::fabs(t) <= 1e-12) {
-        if (++stall > 400) bland = true;
+        if (++stall > 400 && !bland) { bland = true; recompute_d(); }
       } else { stall = 0; bland = false; }
       if (need_refresh()) {
         if (factorize(false) != 0) { res = NUMFAIL; break; }
         compute_xb();
+        recompute_d();
       }
     }
     // Restore shifted costs; a cost shift never changes the feasible
@@ -677,6 +801,21 @@ int tpulp_solve(int m, int n, long long nnz,
   S.Ap.assign(indptr, indptr + n + 1);
   S.Ai.assign(indices, indices + nnz);
   S.Ax.assign(values, values + nnz);
+  // row-wise copy (CSR) for hypersparse dual pricing
+  S.Rp.assign(m + 1, 0);
+  S.Rj.resize(nnz);
+  S.Rx.resize(nnz);
+  for (long long k = 0; k < nnz; ++k) ++S.Rp[S.Ai[k] + 1];
+  for (int i = 0; i < m; ++i) S.Rp[i + 1] += S.Rp[i];
+  {
+    std::vector<int> fill(S.Rp.begin(), S.Rp.end() - 1);
+    for (int j = 0; j < n; ++j)
+      for (int k = S.Ap[j]; k < S.Ap[j + 1]; ++k) {
+        int p = fill[S.Ai[k]]++;
+        S.Rj[p] = j;
+        S.Rx[p] = S.Ax[k];
+      }
+  }
   S.cost.assign(S.N, 0.0);
   for (int j = 0; j < n; ++j) S.cost[j] = c[j];
   S.lo.resize(S.N);
