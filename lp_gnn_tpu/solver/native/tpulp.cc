@@ -513,18 +513,36 @@ struct Solver {
     }
   }
 
-  // Reduced costs d_j = c_j - y.W_j maintained incrementally across dual
-  // pivots (d'_j = d_j - theta_d * alpha_j); rebuilt from a fresh BTRAN after
+  // Dual-pricing state, laid out for the cache: ad interleaves
+  // (alpha_j, d_j) pairs so the candidate scan and the reduced-cost update
+  // touch one cache line per column instead of two; cstat packs the
+  // eligibility class (0 = skip: basic or fixed, 1 = LL, 2 = UL, 3 = FZ);
+  // brange is the static boxed range hi-lo (INF when unboxed).
+  // d_j = cost_j - y.W_j is maintained incrementally across pivots
+  // (d'_j = d_j - theta_d * alpha_j) and rebuilt from a fresh BTRAN after
   // every refactorization to bound drift.
-  std::vector<double> d;
+  std::vector<double> ad;
+  std::vector<signed char> cstat;
+  std::vector<double> brange;
+  signed char cstat_of(int j) const {
+    if (vstat[j] == BASIC || lo[j] == hi[j]) return 0;
+    return vstat[j] == FZ ? 3 : (vstat[j] == UL ? 2 : 1);
+  }
   void recompute_d() {
     std::vector<double> y(m);
     for (int k = 0; k < m; ++k) y[k] = cost[basic[k]];
     btran(y);
-    d.assign(N, 0.0);
+    ad.assign(2 * (size_t)N, 0.0);
+    cstat.resize(N);
     for (int j = 0; j < N; ++j) {
-      if (vstat[j] == BASIC) continue;
-      d[j] = reduced_cost(j, y, cost);
+      cstat[j] = cstat_of(j);
+      if (vstat[j] != BASIC) ad[2 * (size_t)j + 1] = reduced_cost(j, y, cost);
+    }
+    if (brange.empty()) {
+      brange.assign(N, INF);
+      for (int j = 0; j < N; ++j)
+        if (std::isfinite(lo[j]) && std::isfinite(hi[j]))
+          brange[j] = hi[j] - lo[j];
     }
   }
 
@@ -557,8 +575,8 @@ struct Solver {
 
     std::vector<double> rho(m), w(m);
     std::vector<std::pair<int, double>> colbuf;
-    // hypersparse pricing scratch: alpha values + marks over touched columns
-    std::vector<double> alpha(N, 0.0);
+    // hypersparse pricing scratch: marks over touched columns (alpha lives
+    // interleaved with d in `ad`)
     std::vector<char> amark(N, 0);
     std::vector<int> atouch;
     atouch.reserve(256);
@@ -601,14 +619,16 @@ struct Solver {
         double ri = rho[i];
         for (int k2 = Rp[i]; k2 < Rp[i + 1]; ++k2) {
           int j = Rj[k2];
-          if (!amark[j]) { amark[j] = 1; alpha[j] = 0.0; atouch.push_back(j); }
-          alpha[j] += ri * Rx[k2];
+          if (!amark[j]) {
+            amark[j] = 1; ad[2 * (size_t)j] = 0.0; atouch.push_back(j);
+          }
+          ad[2 * (size_t)j] += ri * Rx[k2];
         }
         int jlog = n + i;  // logical column of row i: W_{n+i} = -e_i
         if (!amark[jlog]) {
-          amark[jlog] = 1; alpha[jlog] = 0.0; atouch.push_back(jlog);
+          amark[jlog] = 1; ad[2 * (size_t)jlog] = 0.0; atouch.push_back(jlog);
         }
-        alpha[jlog] -= ri;
+        ad[2 * (size_t)jlog] -= ri;
       }
       // dual ratio test with bound flipping (BFRT): walk the eligible
       // breakpoints in ratio order; while the improvement slope stays
@@ -617,18 +637,17 @@ struct Solver {
       std::vector<Cand> cands;
       cands.reserve(64);
       for (int j : atouch) {
-        if (vstat[j] == BASIC || lo[j] == hi[j]) continue;
-        double aj = alpha[j];
+        int st = cstat[j];
+        if (st == 0) continue;           // basic or fixed
+        double aj = ad[2 * (size_t)j];
         double e = sgn * aj;
-        bool elig = false;
-        if (vstat[j] == LL && e < -PIVOT_TOL) elig = true;       // d>=0, x can rise
-        else if (vstat[j] == UL && e > PIVOT_TOL) elig = true;   // d<=0, x can fall
-        else if (vstat[j] == FZ && std::fabs(e) > PIVOT_TOL) elig = true;
+        // st 1 = LL (d>=0, x can rise), 2 = UL (d<=0, x can fall), 3 = FZ
+        bool elig = (st == 1) ? (e < -PIVOT_TOL)
+                    : (st == 2) ? (e > PIVOT_TOL)
+                                : (std::fabs(e) > PIVOT_TOL);
         if (!elig) continue;
-        double ratio = std::fabs(d[j]) / std::fabs(aj);
-        double range = (vstat[j] != FZ && std::isfinite(lo[j]) &&
-                        std::isfinite(hi[j])) ? hi[j] - lo[j] : INF;
-        cands.push_back({ratio, std::fabs(aj), j, range});
+        double ratio = std::fabs(ad[2 * (size_t)j + 1]) / std::fabs(aj);
+        cands.push_back({ratio, std::fabs(aj), j, brange[j]});
       }
       if (cands.empty()) { res = INFEASIBLE; break; }   // primal infeasible
       int q = -1;
@@ -696,6 +715,7 @@ struct Solver {
         for (int j : flips) {
           double delta = (vstat[j] == LL) ? (hi[j] - lo[j]) : (lo[j] - hi[j]);
           vstat[j] = (vstat[j] == LL) ? UL : LL;
+          cstat[j] = vstat[j] == UL ? 2 : 1;
           x[j] = status_value(j);
           col_of(j, colbuf);
           for (auto& e2 : colbuf) fw[e2.first] += e2.second * delta;
@@ -710,13 +730,13 @@ struct Solver {
       // the entering q lands on exactly 0, the leaving jl on -theta_d
       // (alpha_jl = rho . B e_rlv = 1 by construction)
       {
-        double theta_d = d[q] / alpha[q];
+        double theta_d = ad[2 * (size_t)q + 1] / ad[2 * (size_t)q];
         for (int j : atouch) {
-          if (vstat[j] == BASIC) continue;
-          d[j] -= theta_d * alpha[j];
+          if (cstat[j] == 0) continue;   // basic and fixed columns keep d
+          ad[2 * (size_t)j + 1] -= theta_d * ad[2 * (size_t)j];
         }
-        d[q] = 0.0;
-        d[jl] = -theta_d;
+        ad[2 * (size_t)q + 1] = 0.0;
+        ad[2 * (size_t)jl + 1] = -theta_d;
       }
       double target = (sgn > 0) ? lo[jl] : hi[jl];
       double t = (x[jl] - target) / w[rlv];  // step along -w adds to x_q?
@@ -745,11 +765,13 @@ struct Solver {
       }
       x[q] += t;
       vstat[jl] = (sgn > 0) ? LL : UL;
+      cstat[jl] = (lo[jl] == hi[jl]) ? 0 : (sgn > 0 ? 1 : 2);
       x[jl] = target;
       pos_in_basis[jl] = -1;
       basic[rlv] = q;
       pos_in_basis[q] = rlv;
       vstat[q] = BASIC;
+      cstat[q] = 0;
       if (std::fabs(t) <= 1e-12) {
         if (++stall > 400 && !bland) { bland = true; recompute_d(); }
       } else { stall = 0; bland = false; }
