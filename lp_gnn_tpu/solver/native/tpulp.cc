@@ -933,4 +933,35 @@ int tpulp_solve(int m, int n, long long nnz,
   return res;
 }
 
+// Host-side COO SpMM mirroring ops/spmm.py segment_spmm (the CPU fallback
+// for the device kernels, SURVEY.md §2.2 torch_sparse row): edges sorted by
+// dst, out[dst[e], :] += val[e] * x[src[e], :]. The transpose pass reuses
+// the other edge ordering exactly like the device custom_vjp, so this is
+// both a test oracle and a no-JAX host implementation of the hot op.
+void tpulp_spmm(long long nedges, int num_dst, int dim,
+                const int* dst, const int* src, const double* val,
+                const double* x, double* out) {
+  for (long long i = 0; i < (long long)num_dst * dim; ++i) out[i] = 0.0;
+  for (long long e = 0; e < nedges; ++e) {
+    double v = val[e];
+    if (v == 0.0) continue;
+    const double* xs = x + (long long)src[e] * dim;
+    double* od = out + (long long)dst[e] * dim;
+    for (int d = 0; d < dim; ++d) od[d] += v * xs[d];
+  }
+}
+
+// SDDMM companion (edge-value gradients): g_val[e] = dot(gout[dst[e]],
+// x[src[e]]) — the other half of the device op pair's backward.
+void tpulp_sddmm(long long nedges, int dim, const int* dst, const int* src,
+                 const double* gout, const double* x, double* gval) {
+  for (long long e = 0; e < nedges; ++e) {
+    const double* gd = gout + (long long)dst[e] * dim;
+    const double* xs = x + (long long)src[e] * dim;
+    double s = 0.0;
+    for (int d = 0; d < dim; ++d) s += gd[d] * xs[d];
+    gval[e] = s;
+  }
+}
+
 }  // extern "C"

@@ -192,3 +192,44 @@ def test_strip_coo_train_step_runs(rng):
     p1 = model.init(jax.random.PRNGKey(0))
     _, _, loss1, _ = step(p1, opt.init(p1), pgs, r, lr)
     np.testing.assert_allclose(float(loss0), float(loss1), rtol=1e-6)
+
+
+def test_host_spmm_matches_dense(rng):
+    """C++ host fallback (ops/host_spmm.py) vs dense numpy — the no-JAX
+    mirror of segment_spmm's contract (SURVEY.md §2.2 torch_sparse row)."""
+    from lp_gnn_tpu.ops import host_spmm
+    if not host_spmm.available():
+        pytest.skip("libtpulp.so not built")
+    m, n, e, d = 6, 9, 20, 4
+    dst = np.sort(rng.randint(0, m, e)).astype(np.int32)
+    src = rng.randint(0, n, e).astype(np.int32)
+    val = rng.randn(e)
+    x = rng.randn(n, d)
+    out = host_spmm.spmm_host(dst, src, val, x, m)
+    ref = np.zeros((m, d))
+    for k in range(e):
+        ref[dst[k]] += val[k] * x[src[k]]
+    np.testing.assert_allclose(out, ref, rtol=1e-12)
+    gout = rng.randn(m, d)
+    gval = host_spmm.sddmm_host(dst, src, gout, x)
+    ref_g = np.array([gout[dst[k]] @ x[src[k]] for k in range(e)])
+    np.testing.assert_allclose(gval, ref_g, rtol=1e-12)
+
+
+def test_host_spmm_matches_device_op(rng):
+    """Independent C++ oracle vs the jnp segment_spmm device op."""
+    from lp_gnn_tpu.ops import host_spmm
+    from lp_gnn_tpu.ops.spmm import segment_spmm
+    if not host_spmm.available():
+        pytest.skip("libtpulp.so not built")
+    m, n, e, d = 5, 8, 17, 3
+    dst = np.sort(rng.randint(0, m, e)).astype(np.int32)
+    src = rng.randint(0, n, e).astype(np.int32)
+    val = rng.randn(e).astype(np.float32)
+    x = rng.randn(n, d).astype(np.float32)
+    order = np.argsort(src, kind="stable")
+    tr = (src[order], dst[order], val[order])
+    dev = segment_spmm(jnp.asarray(dst), jnp.asarray(src), jnp.asarray(val),
+                       jnp.asarray(x), tuple(map(jnp.asarray, tr)), m)
+    host = host_spmm.spmm_host(dst, src, val, x, m)
+    np.testing.assert_allclose(np.asarray(dev), host, rtol=1e-5, atol=1e-6)
