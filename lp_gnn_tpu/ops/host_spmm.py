@@ -9,25 +9,25 @@ kernels (it shares no code with them).
 from __future__ import annotations
 
 import ctypes
-import os.path as osp
 
 import numpy as np
 
-_LIB_PATH = osp.join(osp.dirname(__file__), "..", "solver", "native",
-                     "libtpulp.so")
+from ..solver.native import open_cdll
+
 _lib = None
 
 
 def available() -> bool:
-    return osp.exists(_LIB_PATH) and _load() is not None
+    return _load() is not None
 
 
 def _load():
     global _lib
     if _lib is None:
-        try:
-            lib = ctypes.CDLL(_LIB_PATH)
-        except OSError:
+        lib = open_cdll()
+        # hasattr also rejects a stale libtpulp.so built before these
+        # exports existed (dlsym miss raises AttributeError on access)
+        if lib is None or not hasattr(lib, "tpulp_spmm"):
             return None
         c_ip = ctypes.POINTER(ctypes.c_int)
         c_dp = ctypes.POINTER(ctypes.c_double)
@@ -59,6 +59,12 @@ def spmm_host(dst, src, val, x, num_dst: int) -> np.ndarray:
     x = _as_f64(x)
     ne = int(dst.shape[0])
     dim = int(x.shape[1])
+    # the C++ kernel does raw pointer arithmetic: out-of-range indices would
+    # corrupt the heap, not drop like device segment_sum — validate here
+    assert src.shape == (ne,) and val.shape == (ne,)
+    if ne:
+        assert 0 <= dst.min() and int(dst.max()) < num_dst, "dst out of range"
+        assert 0 <= src.min() and int(src.max()) < x.shape[0], "src out of range"
     out = np.zeros((num_dst, dim), dtype=np.float64)
     c_ip = ctypes.POINTER(ctypes.c_int)
     c_dp = ctypes.POINTER(ctypes.c_double)
@@ -77,6 +83,10 @@ def sddmm_host(dst, src, gout, x) -> np.ndarray:
     gout, x = _as_f64(gout), _as_f64(x)
     ne = int(dst.shape[0])
     dim = int(x.shape[1])
+    assert src.shape == (ne,) and gout.shape[1] == dim
+    if ne:
+        assert 0 <= dst.min() and int(dst.max()) < gout.shape[0], "dst out of range"
+        assert 0 <= src.min() and int(src.max()) < x.shape[0], "src out of range"
     gval = np.zeros(ne, dtype=np.float64)
     c_ip = ctypes.POINTER(ctypes.c_int)
     c_dp = ctypes.POINTER(ctypes.c_double)

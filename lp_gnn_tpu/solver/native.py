@@ -21,17 +21,33 @@ import time
 import numpy as np
 
 _LIB_PATH = osp.join(osp.dirname(__file__), "native", "libtpulp.so")
+_cdll = None
 _lib = None
 
 
+def open_cdll():
+    """Load ``libtpulp.so`` once, shared by every ctypes front-end of the
+    native runtime (this module and ops/host_spmm.py). Returns None when the
+    library is unbuilt or unloadable."""
+    global _cdll
+    if _cdll is None and osp.exists(_LIB_PATH):
+        try:
+            _cdll = ctypes.CDLL(_LIB_PATH)
+        except OSError:
+            return None
+    return _cdll
+
+
 def available() -> bool:
-    return osp.exists(_LIB_PATH) and _load() is not None
+    return _load() is not None
 
 
 def _load():
     global _lib
-    if _lib is None and osp.exists(_LIB_PATH):
-        lib = ctypes.CDLL(_LIB_PATH)
+    if _lib is None:
+        lib = open_cdll()
+        if lib is None or not hasattr(lib, "tpulp_solve"):
+            return None
         lib.tpulp_solve.restype = ctypes.c_int
         lib.tpulp_solve.argtypes = [
             ctypes.c_int, ctypes.c_int, ctypes.c_longlong,       # m, n, nnz
@@ -136,6 +152,25 @@ def _format_log(status, niter, run_time, obj, n_repair, fact_time) -> str:
         f"Objective value     :  {obj:.10e}\n"
         f"HiGHS run time      :          {run_time:.2f}\n"
     )
+
+
+def dump_lp_bin(lp, path: str) -> None:
+    """Write the flat LP dump ``prof_main.cc`` reads (header m,n,nnz int64;
+    CSC indptr/indices int32; data/c/lb/ub/bl/bu float64) so the solver can
+    be profiled with perf/gprof outside the ctypes boundary
+    (``make -C lp_gnn_tpu/solver/native prof_main``)."""
+    A = lp.A.tocsc()
+    m, n = lp.shape
+    with open(path, "wb") as f:
+        np.asarray([m, n, A.nnz], dtype=np.int64).tofile(f)
+        A.indptr.astype(np.int32).tofile(f)
+        A.indices.astype(np.int32).tofile(f)
+        A.data.astype(np.float64).tofile(f)
+        for arr, size in ((lp.c, n), (lp.lb, n), (lp.ub, n),
+                          (lp.b_l, m), (lp.b_u, m)):
+            a = np.ascontiguousarray(arr, dtype=np.float64)
+            assert a.shape == (size,)
+            a.tofile(f)
 
 
 def solve_mps(mps_path: str, method: int = 1, basis_in_path: str | None = None,

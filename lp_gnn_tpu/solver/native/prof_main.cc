@@ -1,5 +1,6 @@
-// Standalone profiling driver: reads the flat LP dump written by the
-// Python helper (m,n,nnz int64; indptr int32[n+1]; indices int32[nnz];
+// Standalone profiling driver: reads the flat LP dump written by
+// lp_gnn_tpu.solver.native.dump_lp_bin
+// (m,n,nnz int64; indptr int32[n+1]; indices int32[nnz];
 // data f64[nnz]; c,lb,ub f64[n]; bl,bu f64[m]) and runs tpulp_solve so the
 // solver can be profiled with gprof/perf outside the ctypes boundary.
 #include <cstdio>

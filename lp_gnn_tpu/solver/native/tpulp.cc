@@ -188,7 +188,9 @@ struct Solver {
           if (v > best) { best = v; prow_k = r; }
         }
         if (prow_k >= 0 && best >= PIVOT_TOL && !Rp.empty()) {
-          const double thresh = 0.1 * best;
+          // never trade below the absolute pivot tolerance: a sparser row
+          // with |w| < PIVOT_TOL would put a near-singular pivot on Udiag
+          const double thresh = std::max(0.1 * best, PIVOT_TOL);
           int bestdeg = (int)(Rp[prow_k + 1] - Rp[prow_k]);
           double bestv = best;
           for (int r : touched) {
@@ -611,8 +613,13 @@ struct Solver {
       rho[rlv] = 1.0;
       btran(rho);
       support.clear();
+      // exact-zero skip only: the hypersparsity win comes from entries the
+      // sparse solve never touched (structural zeros). Dropping small-but-
+      // nonzero rho entries would silently exclude columns whose alpha is a
+      // tiny-rho x large-A product from the ratio test and drift the
+      // incrementally maintained reduced costs on badly scaled LPs.
       for (int i = 0; i < m; ++i)
-        if (std::fabs(rho[i]) > ZERO_TOL) support.push_back(i);
+        if (rho[i] != 0.0) support.push_back(i);
       for (int j : atouch) amark[j] = 0;  // clear previous iteration's marks
       atouch.clear();
       for (int i : support) {

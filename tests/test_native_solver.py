@@ -160,3 +160,38 @@ def test_native_bfrt_boxed_heavy():
     warm = native.solve_lp_native(lp, method=1, basis_in=(colb, cold.row_status))
     assert warm.status == "Optimal"
     assert np.isclose(warm.objective, cold.objective, rtol=1e-7)
+
+
+def test_prof_main_dump_roundtrip(tmp_path):
+    """dump_lp_bin + prof_main: the profiling driver must read the dump and
+    reproduce the ctypes path's result (same niter and objective)."""
+    import os.path as osp
+    d = osp.join(osp.dirname(native.__file__), "native")
+    subprocess.run(["make", "-C", d, "prof_main"], check=True,
+                   capture_output=True)
+    lp = generate_instance("transport", seed=3, instance=0)
+    ref = native.solve_lp_native(lp, method=1)
+    dump = str(tmp_path / "lp_dump.bin")
+    native.dump_lp_bin(lp, dump)
+    out = subprocess.run([osp.join(d, "prof_main"), dump], check=True,
+                         capture_output=True, text=True).stdout
+    assert "rc=0" in out
+    assert f"niter={ref.niter}" in out
+    obj = float(out.split("obj=")[1].split()[0])
+    # prof_main reports the raw objective (no obj_const offset)
+    assert np.isclose(obj + lp.obj_const, ref.objective, rtol=1e-6, atol=1e-6)
+
+
+def test_host_spmm_rejects_out_of_range_indices():
+    """The C++ host SpMM does raw pointer writes: the wrapper must reject
+    indices device segment_sum would silently drop."""
+    from lp_gnn_tpu.ops import host_spmm
+    if not host_spmm.available():
+        pytest.skip("libtpulp.so not built")
+    x = np.ones((4, 2))
+    with pytest.raises(AssertionError):
+        host_spmm.spmm_host(np.array([0, 3]), np.array([0, 1]),
+                            np.ones(2), x, num_dst=3)  # dst 3 >= num_dst
+    with pytest.raises(AssertionError):
+        host_spmm.sddmm_host(np.array([0, 1]), np.array([0, 4]),
+                             np.ones((2, 2)), x)       # src 4 >= len(x)
