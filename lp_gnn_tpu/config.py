@@ -111,7 +111,9 @@ class Config:
         val.py:269; on TPU this selects bf16 compute with the knowledge mask
         kept fp32)."""
         if self.fp16 and "dtype" not in self.arch:
-            return self.arch.rstrip(")") + ",dtype='bfloat16')"
+            base = self.arch.strip()[:-1]   # drop the closing ')'
+            sep = "" if base.endswith("(") else ","   # argless, e.g. GCNRand()
+            return base + sep + "dtype='bfloat16')"
         return self.arch
 
     def double_check(self, key: str = "all") -> None:

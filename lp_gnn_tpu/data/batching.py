@@ -41,7 +41,8 @@ from .dataset import BipartiteGraph
                       "blkr_src", "blkr_dst", "blkr_val", "blkr_out",
                       "blkr_ptr",
                       "blkc_src", "blkc_dst", "blkc_val", "blkc_out",
-                      "blkc_ptr", "in_agg_c", "in_agg_v"],
+                      "blkc_ptr", "in_agg_c", "in_agg_v",
+                      "eperm_r", "eperm_c"],
          meta_fields=[])
 @dataclasses.dataclass
 class PaddedGraph:
@@ -88,6 +89,14 @@ class PaddedGraph:
     # This removes 2 of the 6 per-step edge traversals.
     in_agg_c: np.ndarray | None = None   # (M_pad, p) = A x_vars_feas
     in_agg_v: np.ndarray | None = None   # (N_pad, q) = A^T x_cons_feas
+    # Permutations between the two edge orderings, for ops whose per-edge
+    # messages are value-dependent (GEN softmax aggregation): a gather's
+    # backward can then reorder edge-cotangents into the transpose ordering
+    # and segment-sum over sorted source ids instead of emitting an unsorted
+    # TPU scatter (ops/spmm.py gather_src). X_r = X_c[eperm_r] and
+    # X_c = X_r[eperm_c] for any edge-aligned vector X.
+    eperm_r: np.ndarray | None = None    # (E,) int32
+    eperm_c: np.ndarray | None = None    # (E,) int32
 
     @property
     def m_pad(self) -> int:
@@ -222,6 +231,16 @@ def pad_graph(g: BipartiteGraph, m_pad: int | None = None, n_pad: int | None = N
     row_r, col_r, val_r = pad_edges(g.row[order_r], g.col[order_r], g.val[order_r])
     row_c, col_c, val_c = pad_edges(g.row[order_c], g.col[order_c], g.val[order_c])
 
+    # cross-ordering permutations (padding slots are identical in both
+    # orderings, so they map to themselves)
+    inv_r = np.empty(e, np.int64)
+    inv_r[order_r] = np.arange(e)
+    inv_c = np.empty(e, np.int64)
+    inv_c[order_c] = np.arange(e)
+    tail = np.arange(e, e_pad)
+    eperm_r = np.concatenate([inv_c[order_r], tail]).astype(np.int32)
+    eperm_c = np.concatenate([inv_r[order_c], tail]).astype(np.int32)
+
     def pad2(x, size, fill=0.0):
         out = np.full((size,) + x.shape[1:], fill, dtype=x.dtype)
         out[: x.shape[0]] = x
@@ -250,6 +269,7 @@ def pad_graph(g: BipartiteGraph, m_pad: int | None = None, n_pad: int | None = N
         blkr_out=blk_r[3], blkr_ptr=_chunk_ptr(blk_r[3], blk_r[4]),
         blkc_src=blk_c[0], blkc_dst=blk_c[1], blkc_val=blk_c[2],
         blkc_out=blk_c[3], blkc_ptr=_chunk_ptr(blk_c[3], blk_c[4]),
+        eperm_r=eperm_r, eperm_c=eperm_c,
     )
 
 
@@ -269,4 +289,5 @@ def strip_coo(pg: PaddedGraph) -> PaddedGraph:
     z = np.zeros(1, np.int32)
     zf = np.zeros(1, np.float32)
     return dataclasses.replace(pg, row_r=z, col_r=z, val_r=zf,
-                               row_c=z, col_c=z, val_c=zf)
+                               row_c=z, col_c=z, val_c=zf,
+                               eperm_r=None, eperm_c=None)

@@ -96,8 +96,10 @@ def make_gcn_fc(p: int = 8, q: int = 8, hids: int = 128, depth: int = 3,
 
 
 # ---------------------------------------------------------------------- GCN
-def make_gcn(p: int = 8, q: int = 8, hids: int = 128, *_, **__) -> Model:
+def make_gcn(p: int = 8, q: int = 8, hids: int = 128,
+             dtype: str = "float32") -> Model:
     """3 fixed convs (reference arch.py:144-164)."""
+    cdtype = jnp.dtype(dtype)
 
     def init(key):
         k1, k2, k3 = jax.random.split(key, 3)
@@ -106,7 +108,8 @@ def make_gcn(p: int = 8, q: int = 8, hids: int = 128, *_, **__) -> Model:
                 "conv3": bidir_conv_init(k3, hids, hids, 3)}
 
     def apply(params, pg, train=False, rng=None):
-        x_left, x_right = pg.c_feas, pg.v_feas
+        x_left = pg.c_feas.astype(cdtype)
+        x_right = pg.v_feas.astype(cdtype)
         left, right = bidir_conv_apply_input(params["conv1"], pg, x_left,
                                              x_right)
         left, right = jax.nn.relu(left), jax.nn.relu(right)
@@ -118,13 +121,15 @@ def make_gcn(p: int = 8, q: int = 8, hids: int = 128, *_, **__) -> Model:
         left, right = bidir_conv_apply(params["conv3"], pg, left, right)
         return add_knowledge(left, right, x_left, x_right)
 
-    return Model("GCN", init, apply, 3, hids)
+    return Model("GCN", init, apply, 3, hids, dtype=dtype)
 
 
 # ------------------------------------------------------------------ GCNRand
-def make_gcn_rand(*_, **__) -> Model:
+def make_gcn_rand(dtype: str = "float32") -> Model:
     """Random-logit control baseline (reference arch.py:116-126): U[0,1)
-    logits through the same knowledge-mask/decode path."""
+    logits through the same knowledge-mask/decode path. ``dtype`` is
+    accepted for --fp16 arch-string compatibility; the logits are fresh
+    uniforms and the mask is always fp32, so it has no effect."""
 
     def init(key):
         return {"_": jnp.zeros(())}
@@ -160,12 +165,13 @@ def _deep_layer_apply(p, pg, left, right, conv_apply, dp, keys, train):
 
 
 def _make_deeper(name, conv_init, conv_apply, p=8, q=8, hids=128, depth=5,
-                 in_conv_apply=None) -> Model:
+                 in_conv_apply=None, dtype="float32") -> Model:
     # in_conv_apply: cached-input variant for the first conv where the
     # aggregation is parameter-free (GraphConv); GENConv's softmax
     # aggregation depends on learnable temperature, so it cannot be cached.
     in_conv_apply = in_conv_apply or conv_apply
     n_mid = max(depth - 2, 0)
+    cdtype = jnp.dtype(dtype)
 
     def init(key):
         ks = jax.random.split(key, n_mid + 2)
@@ -175,7 +181,8 @@ def _make_deeper(name, conv_init, conv_apply, p=8, q=8, hids=128, depth=5,
                 "conv_out": conv_init(ks[-1], hids, hids, 3)}
 
     def apply(params, pg, train=False, rng=None):
-        x_left, x_right = pg.c_feas, pg.v_feas
+        x_left = pg.c_feas.astype(cdtype)
+        x_right = pg.v_feas.astype(cdtype)
         left, right = in_conv_apply(params["conv_in"], pg, x_left, x_right)
         keys = _split(rng, 2 * max(n_mid, 1))
         for i, blk in enumerate(params["blocks"]):
@@ -184,18 +191,18 @@ def _make_deeper(name, conv_init, conv_apply, p=8, q=8, hids=128, depth=5,
         left, right = conv_apply(params["conv_out"], pg, left, right)
         return add_knowledge(left, right, x_left, x_right)
 
-    return Model(name, init, apply, depth, hids)
+    return Model(name, init, apply, depth, hids, dtype=dtype)
 
 
-def make_gcn_deeper(p=8, q=8, hids=128, depth=50, *_, **__) -> Model:
+def make_gcn_deeper(p=8, q=8, hids=128, depth=50, dtype="float32") -> Model:
     return _make_deeper("GCNDeeper", bidir_conv_init, bidir_conv_apply,
                         p, q, hids, depth,
-                        in_conv_apply=bidir_conv_apply_input)
+                        in_conv_apply=bidir_conv_apply_input, dtype=dtype)
 
 
-def make_gen_deeper(p=8, q=8, hids=128, depth=5, *_, **__) -> Model:
+def make_gen_deeper(p=8, q=8, hids=128, depth=5, dtype="float32") -> Model:
     return _make_deeper("GENDeeper", gen_bidir_init, gen_bidir_apply,
-                        p, q, hids, depth)
+                        p, q, hids, depth, dtype=dtype)
 
 
 MODEL_REGISTRY = {
@@ -215,4 +222,6 @@ def build_model(arch: str) -> Model:
     assert name in MODEL_REGISTRY, f"unknown arch {name}"
     args = [ast.literal_eval(a) for a in tree.args]
     kwargs = {kw.arg: ast.literal_eval(kw.value) for kw in tree.keywords}
+    # model factories take only the options they honor — an unknown option
+    # raises here instead of being silently dropped
     return MODEL_REGISTRY[name](*args, **kwargs)

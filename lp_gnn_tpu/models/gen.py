@@ -2,16 +2,28 @@
 monkeypatched forward at arch.py:11-48).
 
 Per direction (GENConv, aggr='softmax', learn_t, num_layers=2, norm='layer',
-edge_dim=1):
+edge_dim=1), matching PyG GENConv's dimension plumbing: when the source /
+destination width differs from the output width, optional ``lin_src`` /
+``lin_dst`` projections map into output space first (the reference
+monkeypatch honors exactly these optional projections, arch.py:17-18,39-44),
+so messages and the MLP always live in out-channel space:
 
-    e     = W_e * a_ij + b_e                      (edge encoder, 1 -> d)
-    msg_j = relu(x_j + e) + 1e-7
+    x_s   = lin_src(x_src)   if d_src != d_out
+    x_d   = lin_dst(x_dst)   if d_dst != d_out
+    e     = W_e * a_ij + b_e                      (edge encoder, 1 -> d_out)
+    msg_j = relu(x_s_j + e) + 1e-7
     alpha = segment_softmax(t * msg)              (channel-wise, learnable t)
-    aggr  = sum_j alpha_j * msg_j
-    out   = MLP([d, 2d, d'])(aggr + x_dst)        (Linear-LayerNorm-ReLU-Linear)
+    aggr  = sum_j alpha_j * msg_j                 (padding edges excluded)
+    out   = MLP([d_out, 2*d_out, d_out])(aggr + x_d)
 
 Segment softmax is computed with sorted segment max/sum — the TPU-safe
 replacement for torch_scatter's softmax aggregation (SURVEY.md §2.2).
+Padding edges are masked out positionally (first ``nnz`` slots are real,
+data/batching.py): unlike the value-weighted SpMM, GEN's message is nonzero
+for val=0 edges, so without the mask a full bucket's last real node would
+absorb fake messages. The feature gather goes through ops/spmm.py
+``gather_src`` so the backward reuses the transpose edge ordering instead
+of an unsorted TPU scatter (CLAUDE.md convention).
 """
 from __future__ import annotations
 
@@ -19,16 +31,20 @@ import jax
 import jax.numpy as jnp
 
 from .layers import linear_init, linear_apply, layer_norm_init, layer_norm_apply
+from ..ops.spmm import gather_src
 
 EPS = 1e-7
 
 
-def _segment_softmax_agg(logits, values, seg, num_seg):
-    """sum_e softmax_within_segment(logits)[e] * values[e], channel-wise."""
-    mx = jax.ops.segment_max(logits, seg, num_segments=num_seg,
-                             indices_are_sorted=True)
+def _segment_softmax_agg(logits, values, seg, num_seg, emask):
+    """sum_e softmax_within_segment(logits)[e] * values[e], channel-wise.
+    Edges with ``emask`` False contribute to neither the denominator nor
+    the aggregate."""
+    em = emask[:, None]
+    mx = jax.ops.segment_max(jnp.where(em, logits, -jnp.inf), seg,
+                             num_segments=num_seg, indices_are_sorted=True)
     mx = jnp.where(jnp.isfinite(mx), mx, 0.0)   # empty segments
-    ex = jnp.exp(logits - mx[seg])
+    ex = jnp.where(em, jnp.exp(logits - mx[seg]), 0.0)
     den = jax.ops.segment_sum(ex, seg, num_segments=num_seg,
                               indices_are_sorted=True)
     alpha = ex / jnp.maximum(den[seg], 1e-16)
@@ -36,26 +52,40 @@ def _segment_softmax_agg(logits, values, seg, num_seg):
                                indices_are_sorted=True)
 
 
-def gen_dir_init(key, d_in: int, d_out: int):
-    k1, k2, k3 = jax.random.split(key, 3)
-    return {
-        "edge": linear_init(k1, 1, d_in, bias=True),
+def gen_dir_init(key, d_src: int, d_dst: int, d_out: int):
+    k1, k2, k3, k4, k5 = jax.random.split(key, 5)
+    p = {
+        "edge": linear_init(k1, 1, d_out, bias=True),
         "t": jnp.ones((), jnp.float32),
         "mlp": {
-            "l1": linear_init(k2, d_in, 2 * d_in, bias=True),
-            "ln": layer_norm_init(2 * d_in),
-            "l2": linear_init(k3, 2 * d_in, d_out, bias=True),
+            "l1": linear_init(k2, d_out, 2 * d_out, bias=True),
+            "ln": layer_norm_init(2 * d_out),
+            "l2": linear_init(k3, 2 * d_out, d_out, bias=True),
         },
     }
+    if d_src != d_out:
+        p["lin_src"] = linear_init(k4, d_src, d_out, bias=True)
+    if d_dst != d_out:
+        p["lin_dst"] = linear_init(k5, d_dst, d_out, bias=True)
+    return p
 
 
-def gen_dir_apply(p, src_ids, dst_ids, val, x_src, x_dst, num_dst):
-    """One GENConv direction over edges (sorted by dst)."""
+def gen_dir_apply(p, src_ids, dst_ids, val, x_src, x_dst, num_dst, nnz,
+                  t_seg, perm_to_t, num_src):
+    """One GENConv direction over edges (sorted by dst). ``t_seg`` /
+    ``perm_to_t`` describe the transpose edge ordering for the gather's
+    backward (ops/spmm.py gather_src); ``nnz`` masks padding edges."""
+    if "lin_src" in p:
+        x_src = linear_apply(p["lin_src"], x_src)
+    if "lin_dst" in p:
+        x_dst = linear_apply(p["lin_dst"], x_dst)
     e = linear_apply(p["edge"], val[:, None].astype(x_src.dtype))
-    msg = jax.nn.relu(x_src[src_ids] + e) + EPS
+    xs = gather_src(x_src, src_ids, t_seg, perm_to_t, num_src)
+    msg = jax.nn.relu(xs + e) + EPS
+    emask = jnp.arange(val.shape[0]) < nnz
     t = p["t"].astype(jnp.float32)
     msg32 = msg.astype(jnp.float32)
-    aggr = _segment_softmax_agg(msg32 * t, msg32, dst_ids, num_dst)
+    aggr = _segment_softmax_agg(msg32 * t, msg32, dst_ids, num_dst, emask)
     h = aggr.astype(x_dst.dtype) + x_dst
     h = linear_apply(p["mlp"]["l1"], h)
     h = layer_norm_apply(p["mlp"]["ln"], h)
@@ -65,15 +95,19 @@ def gen_dir_apply(p, src_ids, dst_ids, val, x_src, x_dst, num_dst):
 
 def gen_bidir_init(key, left_dim: int, right_dim: int, out_dim: int):
     k1, k2 = jax.random.split(key)
-    return {"l2r": gen_dir_init(k1, left_dim, out_dim),
-            "r2l": gen_dir_init(k2, right_dim, out_dim)}
+    return {"l2r": gen_dir_init(k1, left_dim, right_dim, out_dim),
+            "r2l": gen_dir_init(k2, right_dim, left_dim, out_dim)}
 
 
 def gen_bidir_apply(p, pg, left, right):
     n_pad = pg.v_feas.shape[0]
     m_pad = pg.c_feas.shape[0]
+    # l2r: edges in col-sorted order (dst = vars); transpose ordering is the
+    # row-sorted set, whose source ids row_r are ascending
     right_updated = gen_dir_apply(p["l2r"], pg.row_c, pg.col_c, pg.val_c,
-                                  left, right, n_pad)
+                                  left, right, n_pad, pg.nnz,
+                                  pg.row_r, pg.eperm_r, m_pad)
     left_updated = gen_dir_apply(p["r2l"], pg.col_r, pg.row_r, pg.val_r,
-                                 right, left, m_pad)
+                                 right, left, m_pad, pg.nnz,
+                                 pg.col_c, pg.eperm_c, n_pad)
     return left_updated, right_updated

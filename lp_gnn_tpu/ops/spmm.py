@@ -182,7 +182,7 @@ def _blocked_spmm_p_fwd(blk_src, blk_dst, blk_val, blk_out, x, tr,
 def _blocked_spmm_p_bwd(num_blocks, res, g):
     (t_src, t_dst, t_val, t_out), num_src = res
     dx = blocked_spmm_p(t_src, t_dst, t_val, t_out, g, None,
-                        num_src // 128)[:num_src]
+                        -(-num_src // 128))[:num_src]
     return None, None, None, None, dx, None
 
 
@@ -196,7 +196,7 @@ def _blocked_spmm_fwd(blk_src, blk_dst, blk_val, blk_out, x, tr, num_blocks):
 
 def _blocked_spmm_bwd(num_blocks, res, g):
     (t_src, t_dst, t_val, t_out), num_src = res
-    t_blocks = num_src // 128
+    t_blocks = -(-num_src // 128)
     dx = blocked_spmm(t_src, t_dst, t_val, t_out, g, None, t_blocks)[:num_src]
     return None, None, None, None, dx, None
 
@@ -216,12 +216,15 @@ def _blocked_call(pg, x, side):
         own = (pg.blkr_src, pg.blkr_dst, pg.blkr_val, pg.blkr_out)
         tr = (pg.blkc_src, pg.blkc_dst, pg.blkc_val, pg.blkc_out)
         n_out = pg.c_feas.shape[0]
+    # ceil-div: block layouts are built with ceil(num_dst/128) blocks
+    # (data/batching.py block_layout), and pad_graph accepts node pads that
+    # are not 128-multiples — a floor here would silently drop the last
+    # partial destination block
+    nblk = -(-n_out // 128)
     if _use_pallas():
-        out = blocked_spmm_p(own[0], own[1], own[2], own[3], x, tr,
-                             n_out // 128)
+        out = blocked_spmm_p(own[0], own[1], own[2], own[3], x, tr, nblk)
     else:
-        out = blocked_spmm(own[0], own[1], own[2], own[3], x, tr,
-                           n_out // 128)
+        out = blocked_spmm(own[0], own[1], own[2], own[3], x, tr, nblk)
     return out[:n_out]
 
 
@@ -272,6 +275,44 @@ def attach_input_agg(pg, dtype=jnp.float32):
     agg_v = spmm_cons_to_vars(pg, xl)     # (N_pad, p) into variables
     agg_c = spmm_vars_to_cons(pg, xr)     # (M_pad, q) into constraints
     return dataclasses.replace(pg, in_agg_c=agg_c, in_agg_v=agg_v)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(4,))
+def gather_src(x, src_ids, t_seg, perm_to_t, num_src):
+    """``x[src_ids]`` with a transpose-ordered backward.
+
+    For per-edge messages that are *functions* of the gathered features
+    (e.g. GEN's relu(x_src + e), models/gen.py) the plain gather's autodiff
+    backward is an unsorted TPU scatter-add over ``src_ids``. This wrapper
+    instead permutes the edge cotangent into the transpose edge ordering
+    (``perm_to_t``, precomputed host-side in data/batching.py pad_graph) and
+    segment-sums over the *sorted* source ids ``t_seg`` — the same
+    race-free dual-ordering trick segment_spmm uses for its VJP.
+
+    Args:
+      x: (S, D) source features.
+      src_ids: (E,) source id per edge, in this direction's edge ordering.
+      t_seg: (E,) the same edges' source ids in the transpose ordering
+        (sorted ascending).
+      perm_to_t: (E,) permutation with Y_t = Y[perm_to_t] for any
+        edge-aligned Y.
+      num_src: static int — S.
+    """
+    return x[src_ids]
+
+
+def _gather_src_fwd(x, src_ids, t_seg, perm_to_t, num_src):
+    return x[src_ids], (t_seg, perm_to_t)
+
+
+def _gather_src_bwd(num_src, res, g):
+    t_seg, perm_to_t = res
+    dx = jax.ops.segment_sum(g[perm_to_t], t_seg, num_segments=num_src,
+                             indices_are_sorted=True)
+    return dx, None, None, None
+
+
+gather_src.defvjp(_gather_src_fwd, _gather_src_bwd)
 
 
 def sddmm(row, col, x_cons, x_vars):

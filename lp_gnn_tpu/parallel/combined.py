@@ -27,10 +27,39 @@ from ..data.batching import PaddedGraph
 
 
 def partition_batch(pgs: list[PaddedGraph], n_edge: int) -> dict:
-    """Partition each same-bucket graph and stack: leaves (B, D, ...)."""
+    """Partition each same-bucket graph and stack: leaves (B, D, ...).
+
+    The per-shard edge pad (Es) and the blocked-layout chunk counts are
+    data-dependent, so same-bucket graphs generally partition to different
+    shapes; every field is padded to the batch maximum with the same no-op
+    fill conventions partition_graph uses internally (padding edges target
+    the shard's last row / the global last var with val 0; padding chunks
+    aim at the last destination block with val 0)."""
     dgs = [partition_graph(pg, n_edge) for pg in pgs]
-    return {f: np.stack([getattr(dg, f) for dg in dgs])
-            for f in SHARD_FIELDS if getattr(dgs[0], f) is not None}
+    ms = dgs[0].ms
+    n_pad = dgs[0].n_pad
+    fills = {"row_r": ms - 1, "row_c": ms - 1,
+             "col_r": n_pad - 1, "col_c": n_pad - 1,
+             "blkr_src": 0, "blkr_dst": 127, "blkr_out": ms // 128 - 1,
+             "blkc_src": 0, "blkc_dst": 127, "blkc_out": n_pad // 128 - 1}
+
+    def pad_to(v, tgt, fill):
+        if v.shape == tgt:
+            return v
+        out = np.full(tgt, fill, dtype=v.dtype)
+        out[tuple(slice(0, s) for s in v.shape)] = v
+        return out
+
+    batch = {}
+    for f in SHARD_FIELDS:
+        vals = [getattr(dg, f) for dg in dgs]
+        if vals[0] is None:
+            continue
+        vals = [np.asarray(v) for v in vals]
+        tgt = tuple(max(v.shape[i] for v in vals)
+                    for i in range(vals[0].ndim))
+        batch[f] = np.stack([pad_to(v, tgt, fills.get(f, 0)) for v in vals])
+    return batch
 
 
 def make_dp_edge_train_step(loss_name: str, optimizer, mesh: Mesh,

@@ -25,9 +25,19 @@ from ..train.trainer import seed_masks
 
 
 def stack_graphs(pgs: list[PaddedGraph]) -> PaddedGraph:
-    """Stack same-bucket padded graphs on a leading batch axis."""
-    keys = {pg.bucket_key() for pg in pgs}
-    assert len(keys) == 1, f"graphs must share one bucket, got {keys}"
+    """Stack padded graphs with identical leaf shapes on a leading batch axis.
+
+    Sharing a bucket (m_pad, n_pad, e_pad) is NOT sufficient: the chunked
+    blocked-layout fields have data-dependent chunk counts, so two
+    same-bucket graphs with different row skew cannot stack. Group by the
+    full leaf-shape signature (as train/trainer.py does) before calling."""
+    def sig(pg):
+        return tuple(np.shape(leaf) for leaf in jax.tree.leaves(pg))
+    sigs = {sig(pg) for pg in pgs}
+    assert len(sigs) == 1, (
+        "graphs must share identical padded leaf shapes (same bucket AND "
+        f"same blocked-layout chunk counts); got {len(sigs)} signatures — "
+        "group by full shape signature first (see trainer.py)")
     return jax.tree.map(lambda *xs: np.stack(xs), *pgs)
 
 

@@ -264,6 +264,10 @@ def dist_gcn_fc_apply(params, shard, ms, n_pad, ax, dp_rate=0.1,
     n_hidden = len(params["layers"])
     if rng is None:
         rng = jax.random.PRNGKey(0)
+    # the rng enters the shard_map replicated — fold in the shard index so
+    # each row/var block draws an independent dropout mask (otherwise global
+    # rows i, i+ms, i+2ms, ... share one mask across shards)
+    rng = jax.random.fold_in(rng, jax.lax.axis_index(ax))
     keys = jax.random.split(rng, 2 * max(n_hidden, 1))
     for i, conv in enumerate(params["layers"]):
         left, right = _dist_bidir_conv(conv, shard, left, right, ms, n_pad, ax)
@@ -276,11 +280,9 @@ def dist_gcn_fc_apply(params, shard, ms, n_pad, ax, dp_rate=0.1,
 
 
 # -------------------------------------------------------------- dist. losses
-def _ce(logits, labels):
-    logits = logits.astype(jnp.float32)
-    lse = jax.nn.logsumexp(logits, axis=-1)
-    picked = jnp.take_along_axis(logits, labels[:, None], axis=-1)[:, 0]
-    return lse - picked
+# one CE primitive shared with the single-chip losses, so the documented
+# bit-equivalence between dist_* and train/losses.* cannot drift
+from ..train.losses import _ce_per_node as _ce
 
 
 def dist_balanced_loss(lc, lv, y_s, y_t, mask_s, mask_t, ax):

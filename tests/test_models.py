@@ -347,3 +347,64 @@ def test_input_agg_stacks_and_vmaps(rng):
                                    atol=1e-5)
         np.testing.assert_allclose(np.asarray(lvb[i]), np.asarray(lv),
                                    atol=1e-5)
+
+
+def test_gen_padding_edges_do_not_contaminate(rng):
+    """GEN's softmax aggregation must exclude padding edges: when the real
+    node count fills the bucket exactly, padding edges target a REAL node
+    (the last one) and would corrupt its output without the mask."""
+    from lp_gnn_tpu.models.gen import gen_bidir_init, gen_bidir_apply
+    m, n, e = 128, 128, 60
+    row = rng.randint(0, m, e).astype(np.int32)
+    col = rng.randint(0, n, e).astype(np.int32)
+    val = (rng.rand(e).astype(np.float32) - 0.5)
+    g = BipartiteGraph(row=row, col=col, val=val,
+                       c_feas=rng.rand(m, 8).astype(np.float32),
+                       v_feas=rng.rand(n, 8).astype(np.float32),
+                       y_s=np.zeros(m, np.int32), y_t=np.zeros(n, np.int32))
+    pg_nopad = pad_graph(g, m_pad=m, n_pad=n, e_pad=e)     # no padding edges
+    pg_pad = pad_graph(g, m_pad=m, n_pad=n, e_pad=e + 68)  # 68 padding edges
+    params = gen_bidir_init(jax.random.PRNGKey(0), 8, 8, 16)
+    l1, r1 = gen_bidir_apply(params, pg_nopad, jnp.asarray(g.c_feas),
+                             jnp.asarray(g.v_feas))
+    l2, r2 = gen_bidir_apply(params, pg_pad, jnp.asarray(g.c_feas),
+                             jnp.asarray(g.v_feas))
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(r1), np.asarray(r2), atol=1e-5)
+
+
+def test_gen_mismatched_side_dims(rng):
+    """lin_src/lin_dst projections (reference GENConv dimension plumbing)
+    let the two sides carry different widths."""
+    from lp_gnn_tpu.models.gen import gen_bidir_init, gen_bidir_apply
+    pg = make_pg(rng)
+    left = jnp.asarray(np.random.RandomState(0).randn(
+        pg.m_pad, 6).astype(np.float32))
+    right = jnp.asarray(np.random.RandomState(1).randn(
+        pg.n_pad, 10).astype(np.float32))
+    params = gen_bidir_init(jax.random.PRNGKey(0), 6, 10, 16)
+    l, r = gen_bidir_apply(params, pg, left, right)
+    assert l.shape == (pg.m_pad, 16) and r.shape == (pg.n_pad, 16)
+    assert np.isfinite(np.asarray(l)).all()
+    # gradients flow through the transpose-ordered gather
+    def loss(ps):
+        a, b = gen_bidir_apply(ps, pg, left, right)
+        return jnp.sum(a ** 2) + jnp.sum(b ** 2)
+    grads = jax.grad(loss)(params)
+    flat = jax.tree.leaves(grads)
+    assert all(np.isfinite(np.asarray(x)).all() for x in flat)
+    assert any(np.abs(np.asarray(x)).max() > 0 for x in flat)
+
+
+def test_build_model_rejects_unknown_options():
+    with pytest.raises(TypeError):
+        build_model("GCN(8,8,hids=16,depth=9)")   # GCN has fixed depth
+    with pytest.raises(TypeError):
+        build_model("GCNRand(hids=4)")
+    # dtype is honored everywhere (--fp16 appends it to any arch string)
+    for arch in ["GCN(8,8,hids=16,dtype='bfloat16')",
+                 "GCNRand(dtype='bfloat16')",
+                 "GCNDeeper(8,8,hids=16,depth=4,dtype='bfloat16')",
+                 "GENDeeper(8,8,hids=16,depth=3,dtype='bfloat16')"]:
+        m = build_model(arch)
+        assert m.init is not None

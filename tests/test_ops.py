@@ -233,3 +233,67 @@ def test_host_spmm_matches_device_op(rng):
                        jnp.asarray(x), tuple(map(jnp.asarray, tr)), m)
     host = host_spmm.spmm_host(dst, src, val, x, m)
     np.testing.assert_allclose(np.asarray(dev), host, rtol=1e-5, atol=1e-6)
+
+
+def test_blocked_spmm_non_128_multiple_pads(rng):
+    """pad_graph accepts node pads that are not multiples of 128; the
+    blocked dispatch must not drop the last partial destination block."""
+    m, n, e = 260, 300, 500
+    row = rng.randint(0, m, e).astype(np.int32)
+    row[:4] = m - 1                      # ensure the last block has mass
+    col = rng.randint(0, n, e).astype(np.int32)
+    val = (rng.randn(e) * 0.1).astype(np.float32)
+    g = BipartiteGraph(
+        row=row, col=col, val=val,
+        c_feas=np.zeros((m, 8), np.float32),
+        v_feas=np.zeros((n, 8), np.float32),
+        y_s=np.zeros(m, np.int32), y_t=np.zeros(n, np.int32))
+    pg = pad_graph(g, m_pad=300, n_pad=324, e_pad=512)
+    Af = np.zeros((300, 324), np.float32)
+    for r, c, v in zip(row, col, val):
+        Af[r, c] += v
+    x_vars = rng.randn(324, 4).astype(np.float32)
+    out_c = np.asarray(spmm_vars_to_cons(pg, x_vars))
+    assert out_c.shape == (300, 4)
+    np.testing.assert_allclose(out_c, Af @ x_vars, atol=1e-4)
+    x_cons = rng.randn(300, 4).astype(np.float32)
+    out_v = np.asarray(spmm_cons_to_vars(pg, x_cons))
+    assert out_v.shape == (324, 4)
+    np.testing.assert_allclose(out_v, Af.T @ x_cons, atol=1e-4)
+    # backward through the non-aligned transpose block count
+    gr = np.asarray(jax.grad(lambda x: (spmm_vars_to_cons(pg, x) ** 2).sum())(
+        jnp.asarray(x_vars)))
+    np.testing.assert_allclose(gr, 2 * Af.T @ (Af @ x_vars), atol=1e-3)
+
+
+def test_gather_src_grad_matches_plain_gather(rng):
+    """gather_src (transpose-ordered backward) must have the exact gradient
+    of a plain x[src] gather."""
+    from lp_gnn_tpu.ops.spmm import gather_src
+    pg, _ = make_graph(rng)
+    x = jnp.asarray(rng.randn(pg.m_pad, 6).astype(np.float32))
+
+    def f1(x):
+        xs = gather_src(x, pg.row_c, pg.row_r, pg.eperm_r, pg.m_pad)
+        return jnp.sum(jnp.sin(xs) * jnp.arange(xs.shape[0])[:, None])
+
+    def f2(x):
+        return jnp.sum(jnp.sin(x[pg.row_c]) *
+                       jnp.arange(pg.row_c.shape[0])[:, None])
+
+    np.testing.assert_allclose(np.asarray(f1(x)), np.asarray(f2(x)),
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(jax.grad(f1)(x)),
+                               np.asarray(jax.grad(f2)(x)), atol=1e-5)
+    # and the other direction (r-order edges, transpose = c-order)
+    xv = jnp.asarray(rng.randn(pg.n_pad, 6).astype(np.float32))
+
+    def h1(x):
+        xs = gather_src(x, pg.col_r, pg.col_c, pg.eperm_c, pg.n_pad)
+        return jnp.sum(xs ** 2)
+
+    def h2(x):
+        return jnp.sum(x[pg.col_r] ** 2)
+
+    np.testing.assert_allclose(np.asarray(jax.grad(h1)(xv)),
+                               np.asarray(jax.grad(h2)(xv)), atol=1e-5)

@@ -168,3 +168,60 @@ def test_dist_input_agg_cache_exact(rng):
     np.testing.assert_array_equal(np.asarray(l0), np.asarray(l1))
     for a, b in zip(jax.tree.leaves(p0), jax.tree.leaves(p1)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def _skewed_pg(rng, skew: bool):
+    """Two same-bucket graphs whose blocked-layout chunk counts differ:
+    the skewed one concentrates >K edges in the first 128-row block."""
+    m, n, e = 200, 220, 600
+    if skew:
+        row = rng.randint(0, 100, e).astype(np.int32)
+    else:
+        row = rng.randint(0, m, e).astype(np.int32)
+    col = rng.randint(0, n, e).astype(np.int32)
+    val = (rng.rand(e).astype(np.float32) - 0.5)
+    from lp_gnn_tpu.data.dataset import BipartiteGraph
+    g = BipartiteGraph(row=row, col=col, val=val,
+                       c_feas=rng.rand(m, 8).astype(np.float32),
+                       v_feas=rng.rand(n, 8).astype(np.float32),
+                       y_s=rng.randint(0, 3, m).astype(np.int32),
+                       y_t=rng.randint(0, 3, n).astype(np.int32))
+    return pad_graph(g)
+
+
+def test_stack_graphs_rejects_mismatched_chunk_counts(rng):
+    """Same bucket is not enough to stack: data-dependent blocked-layout
+    chunk counts must match, and the assert must say so instead of letting
+    np.stack crash."""
+    pg1 = _skewed_pg(rng, skew=True)
+    pg2 = _skewed_pg(rng, skew=False)
+    assert pg1.bucket_key() == pg2.bucket_key()
+    if pg1.blkr_src.shape == pg2.blkr_src.shape:
+        pytest.skip("rng did not produce differing chunk counts")
+    with pytest.raises(AssertionError, match="chunk counts"):
+        stack_graphs([pg1, pg2])
+
+
+def test_partition_batch_equalizes_shapes(rng):
+    """partition_batch must stack same-bucket graphs whose per-shard edge
+    pads / chunk counts differ, and the dp x edge step must run on the
+    padded batch."""
+    from lp_gnn_tpu.parallel.combined import (
+        partition_batch, make_dp_edge_train_step)
+    pg1 = _skewed_pg(rng, skew=True)
+    pg2 = _skewed_pg(rng, skew=False)
+    batch = partition_batch([pg1, pg2], n_edge=2)
+    for f, v in batch.items():
+        assert v.shape[0] == 2, f
+    mesh = make_mesh({"dp": 2, "edge": 2})
+    model = build_model("GCN_FC(8,8,hids=16,depth=3)")
+    params = model.init(jax.random.PRNGKey(0))
+    optimizer = make_optimizer("sgd")
+    opt_state = optimizer.init(params)
+    step = make_dp_edge_train_step("balanced", optimizer, mesh, dp_rate=0.0)
+    p2, _, loss = step(params, opt_state, batch, jax.random.PRNGKey(1),
+                       jnp.float32(1e-3))
+    assert np.isfinite(float(loss))
+    # params actually moved
+    d = jax.tree.map(lambda a, b: np.abs(np.asarray(a - b)).max(), params, p2)
+    assert max(jax.tree.leaves(d)) > 0
