@@ -187,6 +187,8 @@ def parse_args(argv=None, make_log_dir: bool = True, **defaults) -> Config:
             continue
         v = getattr(cfg, f.name)
         tp = type(v) if v is not None and not isinstance(v, bool) else str
+        if f.name == "lp_method":
+            tp = str   # accepts 1/4 and 'dual'/'primal' (LP_METHOD_MAP)
         parser.add_argument(f"--{f.name}", type=tp if tp is not type(None) else str,
                             default=v)
     known, unknown = parser.parse_known_args(argv)

@@ -193,6 +193,12 @@ class LPDataset:
             if recache:
                 raise ValueError("recache requested")
             res = json_load(dump_fn)
+            # a stale cache (instances added/renamed since it was written)
+            # would KeyError on .loc or silently return wrong stats
+            if len(res) != len(self.fns) or any(
+                    r.get("fn") != osp.basename(self.fns[r["idx"]])
+                    for r in res):
+                raise ValueError("size.json stale (instance set changed)")
         except Exception:
             res = []
             for idx in range(len(self.fns)):

@@ -132,6 +132,18 @@ class InferenceManager:
                 "inference_all_slacks": inference_all_slacks,
                 "inference_gnn_sparsity": inference_gnn_sparsity}[self.which_func]
 
+    def decode_kwargs(self) -> dict:
+        """Configured decode options to forward to :meth:`decode_fn` —
+        without these the sparsity decode would silently run with its
+        defaults while the output folder name claims the configured mode
+        and weight."""
+        kw = {}
+        if self.mode is not None:
+            kw["mode"] = self.mode
+        if self.gnn_wei is not None:
+            kw["gnn_wei"] = self.gnn_wei
+        return kw
+
     def get_log_folder(self) -> str:
         if self.which_func == "inference_gnn":
             return f"gnn-bas-{self.run}"

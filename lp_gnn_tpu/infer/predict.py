@@ -95,15 +95,22 @@ def validation(model: Model, params, ds: LPDataset, cfg: Config,
     (reference val.py:43-68) or vs the converged warm-start basis
     (val.py:70-104 when ``wrt_converged``)."""
     df = df_load(dump_info) if dump_info and osp.exists(dump_info) else None
-    avg_acc = 0.0
+    avg_acc, n_eval = 0.0, 0
     prefix = "cvg/" if wrt_converged else ""
+    if wrt_converged:
+        # the warm-start stage writes converged bases to
+        # opt-from-{basis_folder} (pipeline.stage_warm_start) — derive the
+        # folder from the configured inference manager, not a hard-coded name
+        from .decode import parse_inference_manager
+        basis_folder = parse_inference_manager(
+            cfg.inference_manager).get_basis_folder()
     for i in range(len(ds)):
         g = ds[i]
         fn = g.fn
         lc, lv = model_inference(model, params, g, cfg.edge_num_thresh,
                                  cfg.batch_size, cfg.arch_depth())
         if wrt_converged:
-            tgt = f"{cfg.log_dir}/opt-from-pred-basis/{fn}.bas"
+            tgt = f"{cfg.log_dir}/opt-from-{basis_folder}/{fn}.bas"
             if not osp.exists(tgt):
                 continue
             con_lbls, var_lbls = read_bas(tgt)
@@ -113,7 +120,8 @@ def validation(model: Model, params, ds: LPDataset, cfg: Config,
         logits = np.concatenate([lc, lv])
         acc, prec, recl = accuracy(logits, gt, g.ncons, return_pr=True,
                                    dataset_name=cfg.dataset)
-        avg_acc += acc / len(ds)
+        avg_acc += acc
+        n_eval += 1
         if df is not None:
             df.loc[df.fn == fn, prefix + "acc"] = acc
             df.loc[df.fn == fn, prefix + "prec"] = prec
@@ -123,13 +131,18 @@ def validation(model: Model, params, ds: LPDataset, cfg: Config,
                          i, len(ds), fn, acc, prec, recl)
     if df is not None and dump_info:
         df_dump(df, dump_info)
-    return 0.0, avg_acc
+    # average over graphs actually scored: with wrt_converged a missing
+    # converged basis (failed warm start) is excluded, not counted as 0
+    return 0.0, avg_acc / max(n_eval, 1)
 
 
 def predict_and_write_bases(model: Model, params, ds: LPDataset, cfg: Config,
-                            out_dir: str, decode_fn=inference_gnn):
+                            out_dir: str, decode_fn=inference_gnn,
+                            decode_kwargs: dict | None = None):
     """Decode every graph and write HiGHS .bas + .sort files
-    (reference scripts/pred_basis.py:70-111). ``ds`` must have load_meta."""
+    (reference scripts/pred_basis.py:70-111). ``ds`` must have load_meta.
+    ``decode_kwargs`` carries the InferenceManager's configured mode/gnn_wei
+    through to the decode function."""
     os.makedirs(out_dir, exist_ok=True)
     inf_times = {}
     for i in range(len(ds)):
@@ -138,7 +151,8 @@ def predict_and_write_bases(model: Model, params, ds: LPDataset, cfg: Config,
                                  cfg.batch_size, cfg.arch_depth())
         logits = np.concatenate([lc, lv]).astype(np.float32)
         m = g.ncons
-        pred = decode_fn(logits, m, nnzs=_nnzs_for_decode(g, decode_fn))
+        pred = decode_fn(logits, m, nnzs=_nnzs_for_decode(g, decode_fn),
+                         **(decode_kwargs or {}))
         pred_con, pred_var = pred[:m], pred[m:]
         fn = osp.join(out_dir, f"{g.fn}.bas")
         write_bas_highs(fn, vbas=pred_var, cbas=pred_con)
@@ -176,17 +190,19 @@ def timed_inference(model: Model, params, ds: LPDataset, cfg: Config,
     (reference pred_basis.py:158-176)."""
     import time
     df = df_load(dump_info) if dump_info and osp.exists(dump_info) else None
-    fwd = _jit_apply(model)
     times = {}
     for i in range(len(ds)):
         g = ds[i]
-        pg = pad_graph(g)
-        fwd(params, pg)   # warm compile for this bucket
+        # honor edge_num_thresh exactly like the prediction pass: an
+        # oversize graph must be timed on the sharded path it actually
+        # uses, not force-padded to a full-graph forward
+        def infer():
+            return model_inference(model, params, g, cfg.edge_num_thresh,
+                                   cfg.batch_size, cfg.arch_depth())
+        infer()   # warm compile for this bucket
         t0 = time.time()
-        lc, lv = fwd(params, pg)
-        jax.block_until_ready(lc)
-        logits = np.concatenate([np.asarray(lc)[: g.ncons],
-                                 np.asarray(lv)[: g.nvars]])
+        lc, lv = infer()
+        logits = np.concatenate([lc, lv])
         inference_gnn(logits, g.ncons)
         times[g.fn] = time.time() - t0
         if df is not None:

@@ -207,6 +207,9 @@ def read_mps(path: str, only_names: bool = False):
 
     lb = np.zeros(n)
     ub = np.full(n, np.inf)
+    # the UP-negative convention applies only when the lower bound was never
+    # set explicitly — an explicit 'LO 0' must survive a later negative UP
+    lb_explicit = np.zeros(n, bool)
     for btype, cname, val in bound_lines:
         if cname not in col_set:
             continue
@@ -214,20 +217,26 @@ def read_mps(path: str, only_names: bool = False):
         if btype == "UP":
             ub[j] = val
             # MPS convention: UP with negative value and no LO set -> lb=-inf
-            if val is not None and val < 0 and lb[j] == 0:
+            if val is not None and val < 0 and not lb_explicit[j] \
+                    and lb[j] == 0:
                 lb[j] = -np.inf
         elif btype == "LO":
             lb[j] = val
+            lb_explicit[j] = True
         elif btype == "FX":
             lb[j] = ub[j] = val
+            lb_explicit[j] = True
         elif btype == "FR":
             lb[j], ub[j] = -np.inf, np.inf
+            lb_explicit[j] = True
         elif btype == "MI":
             lb[j] = -np.inf
+            lb_explicit[j] = True
         elif btype == "PL":
             ub[j] = np.inf
         elif btype == "BV":
             lb[j], ub[j] = 0.0, 1.0
+            lb_explicit[j] = True
 
     A = csr_matrix((entries_v, (entries_r, entries_c)), shape=(m, n))
     A.sum_duplicates()
@@ -300,6 +309,10 @@ def write_mps(lp: LPData, path: str) -> None:
             lines.append(f" MI BND {nm}")
         elif lo != 0.0:
             lines.append(f" LO BND {nm} {lo:.17g}")
+        elif np.isfinite(hi) and hi < 0.0:
+            # explicit LO 0: a bare negative UP makes MPS readers (including
+            # read_mps) set the lower bound to -inf by convention
+            lines.append(f" LO BND {nm} 0")
         if np.isfinite(hi):
             lines.append(f" UP BND {nm} {hi:.17g}")
     lines.append("ENDATA")

@@ -216,7 +216,8 @@ def stage_pred_basis(cfg: Config, ckpt_path: str | None = None) -> str:
     train_ds, val_ds = split_train_val(ds, cfg.seed)
     target = val_ds if cfg.split == "val" else ds
     predict_and_write_bases(model, params, target, cfg, out_dir,
-                            decode_fn=inf_mng.decode_fn())
+                            decode_fn=inf_mng.decode_fn(),
+                            decode_kwargs=inf_mng.decode_kwargs())
     # timing pass (pred_basis.py:158-176)
     dump_info = osp.join(cfg.log_dir, "time.h5")
     if not osp.exists(dump_info):

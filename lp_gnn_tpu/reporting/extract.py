@@ -85,12 +85,18 @@ def extract_fact_time(out: str) -> float:
 
 def map_back_to_baseline(log_fdl_nm: str, solver_pref: str = "highs-") -> str:
     """Map a warm-start log folder to its cold baseline folder
-    (reference scripts/extract_time.py:8-22)."""
-    for method in ["m2", "m4", ""]:
-        sfx = f"-{method}" if method else ""
-        if re.match(f".*[(gnn)|(ca)]-bas.*{method}", log_fdl_nm):
-            return f"{solver_pref}no-bas{sfx}"
-    return ""
+    (reference scripts/extract_time.py:8-22 — whose regex is a character
+    class, not the intended alternation; this is the fixed rule, extended
+    to the all-slacks and sparsity-decode folders)."""
+    name = log_fdl_nm.split("/")[0]
+    is_warm = (name.startswith(("gnn-", "all-slacks-"))
+               or "ca-bas" in name)
+    if not is_warm:
+        return ""
+    for method in ("m2", "m4"):
+        if name.endswith(f"-{method}"):
+            return f"{solver_pref}no-bas-{method}"
+    return f"{solver_pref}no-bas"
 
 
 def collect_results(log_dir: str, time_h5: str, solver_prefix: str = "highs-",
@@ -130,7 +136,14 @@ def collect_results(log_dir: str, time_h5: str, solver_prefix: str = "highs-",
         base_col = f"{bs_method}/{impr}"
         if base_col not in df:
             continue
-        df[f"{method}/impr_{impr}"] = -(df[colnm] - df[base_col]) / df[base_col]
+        # the -1/-2/-3 sentinels (and zero baselines) must not enter the
+        # improvement arithmetic — a -1 warm niter against a 500 baseline
+        # would read as a fake ~+100% improvement in the summary means
+        cur = pd.to_numeric(df[colnm], errors="coerce")
+        base = pd.to_numeric(df[base_col], errors="coerce")
+        cur = cur.mask(cur < 0)
+        base = base.mask(base <= 0)
+        df[f"{method}/impr_{impr}"] = -(cur - base) / base
     df_dump(df, time_h5)
     return df
 

@@ -311,68 +311,68 @@ def run_exp(cfg: Config, dataset: LPDataset | None = None) -> str:
                 writer.scalar("train/acc", acc_meter.avg, glstep)
                 writer.scalar("train/lr", lr, glstep)
 
-        if dp_step is not None:
-            # Group stackable full graphs into dp batches. Grouping must use
-            # the full leaf-shape signature: the blocked-layout chunk count
-            # is data-dependent, so two graphs can share a bucket yet not be
-            # stackable. Stacked batches are built once (epoch 0) and cached;
-            # only the batch visit order is reshuffled per epoch.
-            if "dp_batches" not in padded_cache:
+        def stacked_groups(size: int, device_put_batches: bool):
+            """Group stackable FULL graphs into same-signature stacks of
+            ``size``. Grouping must use the full leaf-shape signature: the
+            blocked-layout chunk count is data-dependent, so two graphs can
+            share a bucket yet not be stackable. Built once (epoch 0) and
+            cached; oversize graphs are excluded — their fanout-sampled
+            subgraphs must be redrawn per epoch (reference train.py:111-116
+            resamples via NeighborLoader every pass), so they are returned
+            as indices and sampled by the caller each epoch."""
+            cache_key = ("stacks", size)
+            if cache_key not in padded_cache:
                 from ..parallel.dp import stack_graphs
                 by_sig: dict = {}
-                singles = []
-                for gi in np.arange(n_train):
-                    pgs = batches_for(int(gi), rng_np)
-                    pgs = [jax.device_get(p) for p in pgs]
-                    if len(pgs) == 1:
-                        sig = tuple(x.shape for x in jax.tree.leaves(pgs[0]))
-                        by_sig.setdefault(sig, []).append(pgs[0])
-                    else:
-                        singles.extend(pgs)
+                singles, sampled_idxs = [], []
+                for gi in range(n_train):
+                    if train_ds[gi].nnz > cfg.edge_num_thresh:
+                        sampled_idxs.append(gi)
+                        continue
+                    pg = jax.device_get(batches_for(gi, rng_np)[0])
+                    sig = tuple(x.shape for x in jax.tree.leaves(pg))
+                    by_sig.setdefault(sig, []).append(pg)
                 batches = []
                 for group in by_sig.values():
-                    while len(group) >= stack_size:
-                        batches.append(stack_graphs(group[:stack_size]))
-                        group = group[stack_size:]
+                    while len(group) >= size:
+                        b = stack_graphs(group[:size])
+                        batches.append(jax.device_put(b)
+                                       if device_put_batches else b)
+                        group = group[size:]
                     singles.extend(group)
-                padded_cache["dp_batches"] = (batches, singles)
-            batches, singles = padded_cache["dp_batches"]
-            for bi in rng_np.permutation(len(batches)):
-                key, sk = jax.random.split(key)
-                glstep += 1
-                params, opt_state, loss = dp_step(
-                    params, opt_state, batches[int(bi)], sk, jnp.float32(lr))
-                log_step(0, float(loss), None)
+                padded_cache[cache_key] = (batches, singles, sampled_idxs)
+            return padded_cache[cache_key]
+
+        def run_singles_and_sampled(singles, sampled_idxs):
+            nonlocal params, opt_state, glstep, key
             for pg in singles:
                 key, sk = jax.random.split(key)
                 glstep += 1
                 params, opt_state, loss, acc = train_step(
                     params, opt_state, pg, sk, jnp.float32(lr))
                 log_step(0, float(loss), float(acc))
+            for gi in sampled_idxs:
+                # fresh subgraph sample every epoch
+                for pg in batches_for(int(gi), rng_np):
+                    key, sk = jax.random.split(key)
+                    glstep += 1
+                    params, opt_state, loss, acc = train_step(
+                        params, opt_state, pg, sk, jnp.float32(lr))
+                    log_step(0, float(loss), float(acc))
+
+        if dp_step is not None:
+            batches, singles, sampled_idxs = stacked_groups(
+                stack_size, device_put_batches=False)
+            for bi in rng_np.permutation(len(batches)):
+                key, sk = jax.random.split(key)
+                glstep += 1
+                params, opt_state, loss = dp_step(
+                    params, opt_state, batches[int(bi)], sk, jnp.float32(lr))
+                log_step(0, float(loss), None)
+            run_singles_and_sampled(singles, sampled_idxs)
         elif scan_step is not None:
-            # group same-signature full graphs into scan stacks of scan_k
-            # (built once, like dp_batches; leftovers run per-step)
-            if "scan_batches" not in padded_cache:
-                from ..parallel.dp import stack_graphs
-                by_sig: dict = {}
-                singles = []
-                for gi in np.arange(n_train):
-                    pgs = [jax.device_get(p)
-                           for p in batches_for(int(gi), rng_np)]
-                    if len(pgs) == 1:
-                        sig = tuple(x.shape for x in jax.tree.leaves(pgs[0]))
-                        by_sig.setdefault(sig, []).append(pgs[0])
-                    else:
-                        singles.extend(pgs)
-                batches = []
-                for group in by_sig.values():
-                    while len(group) >= scan_k:
-                        batches.append(jax.device_put(
-                            stack_graphs(group[:scan_k])))
-                        group = group[scan_k:]
-                    singles.extend(group)
-                padded_cache["scan_batches"] = (batches, singles)
-            batches, singles = padded_cache["scan_batches"]
+            batches, singles, sampled_idxs = stacked_groups(
+                scan_k, device_put_batches=True)
             for bi in rng_np.permutation(len(batches)):
                 key, sk = jax.random.split(key)
                 sks = jax.random.split(sk, scan_k)
@@ -382,12 +382,7 @@ def run_exp(cfg: Config, dataset: LPDataset | None = None) -> str:
                 for lv_, av_ in zip(np.asarray(losses), np.asarray(accs)):
                     glstep += 1
                     log_step(0, float(lv_), float(av_))
-            for pg in singles:
-                key, sk = jax.random.split(key)
-                glstep += 1
-                params, opt_state, loss, acc = train_step(
-                    params, opt_state, pg, sk, jnp.float32(lr))
-                log_step(0, float(loss), float(acc))
+            run_singles_and_sampled(singles, sampled_idxs)
         else:
             for idx_graphs, gi in enumerate(order):
                 for pg in batches_for(int(gi), rng_np):

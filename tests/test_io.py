@@ -178,3 +178,20 @@ ENDATA
     # MI: lower -inf, upper default; FX: both 2.5
     assert np.isneginf(lp.lb[0]) and lp.ub[0] == np.inf
     assert lp.lb[1] == 2.5 and lp.ub[1] == 2.5
+
+
+def test_write_mps_negative_upper_zero_lower(tmp_path):
+    """lb=0 with a negative upper bound must survive the round trip: a bare
+    negative UP makes MPS readers set lb=-inf by convention, so the writer
+    emits an explicit LO 0."""
+    from scipy.sparse import csr_matrix
+    from lp_gnn_tpu.io.mps import LPData
+    lp = LPData(c=np.array([1.0]), b_l=np.array([-np.inf]),
+                A=csr_matrix(np.array([[1.0]])), b_u=np.array([5.0]),
+                lb=np.array([0.0]), ub=np.array([-2.0]),
+                con_nms=np.array(["r0"], dtype=object),
+                var_nms=np.array(["x0"], dtype=object))
+    fn = str(tmp_path / "neg_up.mps")
+    write_mps(lp, fn)
+    lp2 = read_mps(fn)
+    assert lp2.lb[0] == 0.0 and lp2.ub[0] == -2.0

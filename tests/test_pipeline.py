@@ -229,3 +229,17 @@ def test_scan_step_matches_sequential():
     np.testing.assert_allclose(np.asarray(losses1), l_seq1, rtol=1e-5)
     for a, b in zip(jax.tree.leaves(p_scan1), jax.tree.leaves(p_seq1)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_train_dp_with_sampled_graphs(tiny_cfg):
+    """dp training with oversize graphs: the sampled subgraphs must be
+    redrawn per epoch (not frozen in the epoch-0 stack cache) and the run
+    must complete."""
+    import dataclasses
+    from lp_gnn_tpu.train.trainer import run_exp
+    cfg = dataclasses.replace(tiny_cfg, mesh_shape="dp=2", epochs=2,
+                              exp_nm="t-dp-sampled", edge_num_thresh=0,
+                              batch_size=64)
+    cfg.finalize()
+    ckpt = run_exp(cfg)
+    assert osp.exists(ckpt)

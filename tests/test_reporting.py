@@ -104,3 +104,29 @@ def test_to_latex_table_shapes():
     tab = to_latex_table(summarize(df))
     assert set(tab.columns) == {"train", "val"}
     assert tab.loc["highs-no-bas/niter", "val"].startswith("$190.0")
+
+
+def test_impr_excludes_failed_solves(tmp_path):
+    """A warm-start log that did not reach Optimal returns the -1 sentinel;
+    the improvement column must be NaN for that LP, not a fake ~+100%."""
+    bad = GOOD_LOG.replace("Optimal", "Time limit reached")
+    log_dir = tmp_path / "run"
+    for method, text in [("highs-no-bas", GOOD_LOG), ("gnn-bas-0", bad)]:
+        d = log_dir / "log" / method
+        d.mkdir(parents=True)
+        (d / "lp0.log").write_text(text)
+    df = pd.DataFrame({"fn": ["lp0"], "split": ["val"]})
+    h5 = str(tmp_path / "time.h5")
+    df_dump(df, h5)
+    out = collect_results(str(log_dir), h5)
+    row = out[out.fn == "lp0"].iloc[0]
+    assert row["gnn-bas-0/niter"] == -1
+    assert np.isnan(row["gnn-bas-0/impr_niter"])
+
+
+def test_map_back_to_baseline_extended():
+    assert map_back_to_baseline("all-slacks-bas-0") == "highs-no-bas"
+    assert map_back_to_baseline("gnn-sparsity-mult-0.9-0") == "highs-no-bas"
+    assert map_back_to_baseline("highs-ca-bas-m1") == "highs-no-bas"
+    assert map_back_to_baseline("highs-no-bas-m4") == ""
+    assert map_back_to_baseline("gnn-bas-0-m4/niter") == "highs-no-bas-m4"

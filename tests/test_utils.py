@@ -83,3 +83,14 @@ def test_increment_path(tmp_path):
     os.makedirs(p)
     p2 = increment_path(p, exist_ok=False)
     assert p2.rstrip("/").endswith("exp2")
+
+
+def test_parse_args_lp_method_strings(tmp_path):
+    """--lp_method accepts 'dual'/'primal' (LP_METHOD_MAP) as well as ints."""
+    from lp_gnn_tpu.config import parse_args
+    for val, want in [("dual", 1), ("primal", 4), ("4", 4)]:
+        cfg = parse_args(["--lp_method", val, "--exp_nm", "t-lpm",
+                          "--data_prefix", str(tmp_path / "d"),
+                          "--log_prefix", str(tmp_path / "r")],
+                         make_log_dir=False)
+        assert cfg.normalized_lp_method() == want
