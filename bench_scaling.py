@@ -18,7 +18,8 @@ import time
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--devices", type=int, default=0,
-                    help="0 = all available; >n_real forces a virtual CPU mesh")
+                    help="0 = all available real devices; with "
+                         "LP_GNN_PLATFORM=cpu, size of the virtual CPU mesh")
     ap.add_argument("--edges", type=int, default=200_000)
     ap.add_argument("--cons", type=int, default=16_384)
     ap.add_argument("--vars", type=int, default=32_768)
@@ -27,17 +28,22 @@ def main():
     args = ap.parse_args()
 
     # decide the platform BEFORE the first backend touch: a virtual mesh
-    # needs the host-device-count XLA flag set pre-initialization
-    want_env = args.devices
-    if want_env and want_env > 1:
-        os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "") +
-                                   f" --xla_force_host_platform_device_count={want_env}")
+    # needs the host-device-count XLA flag set pre-initialization.
+    # LP_GNN_PLATFORM=cpu selects the virtual CPU mesh; otherwise the REAL
+    # backend is always used (a multi-chip slice measures ICI scaling) and
+    # --devices is capped to the hardware count.
+    force_cpu = os.environ.get("LP_GNN_PLATFORM", "") == "cpu"
+    if force_cpu and args.devices > 1:
+        os.environ["XLA_FLAGS"] = (
+            os.environ.get("XLA_FLAGS", "") +
+            f" --xla_force_host_platform_device_count={args.devices}")
     import jax
-    if os.environ.get("LP_GNN_PLATFORM", "") == "cpu" or \
-            (want_env and want_env > 1 and
-             os.environ.get("LP_GNN_PLATFORM", "cpu") == "cpu"):
+    if force_cpu:
         jax.config.update("jax_platforms", "cpu")
     n_real = len(jax.devices())
+    if args.devices > n_real:
+        print(f"# requested {args.devices} devices, capping to {n_real} "
+              "(set LP_GNN_PLATFORM=cpu to simulate a larger virtual mesh)")
     want = min(args.devices or n_real, n_real)
     virtual = jax.devices()[0].platform == "cpu"
 
@@ -80,7 +86,7 @@ def main():
 
     base = results[1]
     out = {
-        "mode": "virtual-cpu" if virtual or n_real == 1 else "hardware",
+        "mode": "virtual-cpu" if virtual else "hardware",
         "edges": args.edges,
         "step_time_s": {str(k): round(v, 4) for k, v in results.items()},
         "scaling_efficiency": {str(k): round(base / (v * k), 3)

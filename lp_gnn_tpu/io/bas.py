@@ -30,6 +30,9 @@ import os
 import numpy as np
 
 LL, BS, UL = 0, 1, 2
+# nonbasic free at zero (HiGHS kZero): the only valid nonbasic status for a
+# variable/row with no finite bound to rest on
+FZ = 3
 
 
 def write_bas_highs(fn: str, vnms=None, cnms=None, vbas=None, cbas=None) -> None:

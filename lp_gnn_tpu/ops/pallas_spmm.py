@@ -25,7 +25,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-R = 128  # rows per destination block (MXU tile)
+# rows per destination block: MUST equal the layout builder's tile height —
+# blk_dst offsets and the R-1 padding fill are computed against it
+from ..data.batching import BLOCK_R as R
 
 
 def _kernel(blk_of, msg_ref, dst_ref, out_ref, *, K, D):

@@ -15,7 +15,7 @@ from __future__ import annotations
 import numpy as np
 
 from ..io.mps import LPData
-from ..io.bas import LL, BS, UL
+from ..io.bas import LL, BS, UL, FZ
 
 
 def bixby_crash_basis(lp: LPData):
@@ -44,9 +44,11 @@ def bixby_crash_basis(lp: LPData):
     row_covered = np.zeros(m, dtype=bool)
     col_status = np.full(n, LL, dtype=np.int64)
     row_status = np.full(m, BS, dtype=np.int64)
-    # nonbasic columns rest at their finite bound (lower preferred)
+    # nonbasic columns rest at their finite bound (lower preferred); a free
+    # column that stays nonbasic has no bound to rest on -> FZ (HiGHS kZero)
     at_upper = ~np.isfinite(lb) & np.isfinite(ub)
     col_status[at_upper] = UL
+    col_status[free] = FZ
 
     # row max |a_ij| for pivot-quality check
     Ar = lp.A.tocsr()
@@ -68,17 +70,21 @@ def bixby_crash_basis(lp: LPData):
         if not cand.any():
             continue
         k = np.argmax(np.where(cand, vals_j, -1.0))
-        # pivot-stability guard (Bixby's 0.99 of row max)
+        # pivot-stability guard: Bixby (1992) uses 0.99 of the row max; the
+        # relaxed 0.01 factor deliberately admits more structural columns —
+        # on the LP families here the 0.99 guard leaves most rows slack-
+        # covered, collapsing the crash basis toward all-slack
         i = rows_j[k]
         if vals_j[k] < 0.01 * row_absmax[i]:
             continue
         row_covered[i] = True
         col_status[j] = BS
-        # displaced slack goes to a finite row bound
+        # displaced slack goes to a finite row bound (FZ for a free row —
+        # there is no bound for it to rest on)
         if np.isfinite(lp.b_l[i]):
             row_status[i] = LL
         elif np.isfinite(lp.b_u[i]):
             row_status[i] = UL
         else:
-            row_status[i] = LL
+            row_status[i] = FZ
     return col_status, row_status

@@ -83,7 +83,7 @@ def solve_lp(lp: LPData, method: int = 1, basis_in=None,
     h.setOptionValue("solver", "simplex")
     h.setOptionValue("random_seed", random_seed)
     h.setOptionValue("simplex_strategy", int(method))
-    if time_limit:
+    if time_limit is not None:
         h.setOptionValue("time_limit", float(time_limit))
     h.passModel(_lp_to_highs(lp))
     if basis_in is not None:
@@ -92,7 +92,14 @@ def solve_lp(lp: LPData, method: int = 1, basis_in=None,
         b.col_status = [_hs.HighsBasisStatus(int(s)) for s in col_in]
         b.row_status = [_hs.HighsBasisStatus(int(s)) for s in row_in]
         b.valid = True
-        h.setBasis(b)
+        st = h.setBasis(b)
+        if st != _hs.HighsStatus.kOk:
+            # a rejected basis means HiGHS solves COLD — recording that as
+            # a warm-start result would corrupt the iteration-reduction
+            # metric, so fail loudly instead
+            import logging
+            logging.error("HiGHS rejected the warm-start basis (%s); the "
+                          "solve will run cold", st)
     t0 = time.time()
     h.run()
     dt = time.time() - t0

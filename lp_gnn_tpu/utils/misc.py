@@ -64,6 +64,9 @@ class AverageMeter:
 def stat(arr) -> dict:
     a = np.asarray(arr, dtype=np.float64)
     a = a[~np.isnan(a)]
+    if a.size == 0:   # empty / all-NaN input: degenerate stats, not a crash
+        return dict(min=np.nan, mean=np.nan, median=np.nan, max=np.nan,
+                    shape=a.shape, std=np.nan)
     return dict(min=a.min(), mean=a.mean(), median=np.median(a), max=a.max(),
                 shape=a.shape, std=a.std())
 

@@ -23,7 +23,14 @@ def trace(log_dir: str, enabled: bool = True):
     import jax
     os.makedirs(log_dir, exist_ok=True)
     try:
-        jax.profiler.start_trace(log_dir)
+        # start can fail too (e.g. profiler service unavailable on the
+        # tunnel transport) — degrade to a no-op instead of aborting the run
+        try:
+            jax.profiler.start_trace(log_dir)
+        except Exception as e:
+            import logging
+            logging.warning("profiler start_trace failed (%s); tracing "
+                            "skipped", e)
         yield
     finally:
         try:

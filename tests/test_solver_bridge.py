@@ -130,3 +130,26 @@ def test_svm_family_shape_and_margin_rows():
     assert n == m + 2 * 20 + 2
     assert np.all(lp.b_l == 1.0) and np.all(np.isinf(lp.b_u))
     assert np.all(lp.lb == 0.0)
+
+
+def test_crash_basis_free_variable_status():
+    """A free variable that stays nonbasic must get FZ (HiGHS kZero), never
+    LL — nonbasic at a bound that does not exist is an invalid basis."""
+    import numpy as np
+    from scipy.sparse import csr_matrix
+    from lp_gnn_tpu.io.mps import LPData
+    from lp_gnn_tpu.io.bas import BS, FZ
+    # x0 free, x1 in [0, inf); one constraint each so only one can be basic
+    lp = LPData(c=np.array([1.0, 1.0]), b_l=np.array([1.0]),
+                A=csr_matrix(np.array([[1.0, 1e-6]])), b_u=np.array([np.inf]),
+                lb=np.array([-np.inf, 0.0]), ub=np.array([np.inf, np.inf]),
+                con_nms=np.array(["r0"], dtype=object),
+                var_nms=np.array(["x0", "x1"], dtype=object))
+    colb, rowb = bixby_crash_basis(lp)
+    assert all(s in (BS, FZ) for j, s in enumerate(colb)
+               if not np.isfinite(lp.lb[j]) and not np.isfinite(lp.ub[j]))
+    # the basis must be structurally valid and accepted by the solver
+    nb = (colb == 1).sum() + (rowb == 1).sum()
+    assert nb == lp.shape[0]
+    res = solve_lp(lp, method=1, basis_in=(colb, rowb))
+    assert res.status == "Optimal"
