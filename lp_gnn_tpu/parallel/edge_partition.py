@@ -18,6 +18,17 @@ handles graphs too big for one device by neighbor-sampled minibatching
 
   XLA lowers all_gather/psum_scatter onto ICI rings; dense linears run
   D-way parallel on both sides.
+- ``halo=True`` replaces both full-width collectives with **boundary
+  halo exchange** (the SURVEY.md §2.3 flagship): each shard receives only
+  the variable rows its own edges reference (host-precomputed per-pair
+  send lists, one ``all_to_all``), runs the same blocked SpMMs against the
+  compact halo buffer, and routes the transpose partial sums back with a
+  second ``all_to_all`` + sorted segment-sum. Per shard per layer the wire
+  volume drops from 2·N_pad·F (all_gather + psum_scatter) to 2·H·F where
+  H = padded halo size — on banded LPs (mirp's time-period structure)
+  H ≪ N_pad. ``halo_gather``/``halo_reduce`` are exact mutual transposes
+  wired as each other's custom VJP, so the backward pass is scatter-free
+  and the gradients stay bit-comparable to the all-gather path.
 - Every parameter path touches shard-local tensors exactly once, so the
   exact global gradient is ``psum`` of per-shard grads — no replicated
   compute, no double counting.
@@ -49,6 +60,9 @@ SHARD_FIELDS = ["row_r", "col_r", "val_r", "row_c", "col_c", "val_c",
                 "c_feas", "y_s", "cons_mask", "v_feas", "y_t", "vars_mask",
                 "blkr_src", "blkr_dst", "blkr_val", "blkr_out",
                 "blkc_src", "blkc_dst", "blkc_val", "blkc_out",
+                "halo_send", "halo_perm", "halo_ids",
+                "blkh_r_src", "blkh_r_dst", "blkh_r_val", "blkh_r_out",
+                "blkh_c_src", "blkh_c_dst", "blkh_c_val", "blkh_c_out",
                 "in_agg_c", "in_agg_v"]
 
 
@@ -84,6 +98,19 @@ class PartitionedGraph:
     blkc_dst: np.ndarray | None = None
     blkc_val: np.ndarray | None = None
     blkc_out: np.ndarray | None = None
+    # halo exchange (partition_graph(halo=True)): per-pair send lists and
+    # the compact-halo blocked layouts replacing blkr/blkc
+    halo_send: np.ndarray | None = None  # (D, D, Bh) int32 local var rows
+    halo_perm: np.ndarray | None = None  # (D, D*Bh) int32 sort perm
+    halo_ids: np.ndarray | None = None   # (D, D*Bh) int32 sorted local ids
+    blkh_r_src: np.ndarray | None = None  # dst local cons / src halo slot
+    blkh_r_dst: np.ndarray | None = None
+    blkh_r_val: np.ndarray | None = None
+    blkh_r_out: np.ndarray | None = None
+    blkh_c_src: np.ndarray | None = None  # dst halo slot / src local cons
+    blkh_c_dst: np.ndarray | None = None
+    blkh_c_val: np.ndarray | None = None
+    blkh_c_out: np.ndarray | None = None
     # precomputed input-conv aggregations (attach_dist_input_agg): the raw
     # node features are per-graph constants, so the input conv's
     # all_gather + both SpMMs + psum_scatter can run once, not every step
