@@ -210,6 +210,30 @@ def test_accuracy_metric(rng):
     assert acc2 == 1.0
 
 
+def test_accuracy_metric_stoch_mode(rng):
+    """'stoch' datasets score the variable side only (reference
+    val.py:211-213,226-229: constraint labels are all-nonbasic there, so
+    acc1/p1/r1 are replaced by the var side's values)."""
+    m, n = 10, 30
+    # a valid basis: all m basic on the var side, constraints all nonbasic
+    basic_vars = np.zeros(n, np.int64)
+    basic_vars[:m] = 1
+    gt = np.concatenate([np.zeros(m, np.int64), basic_vars])
+    logits = np.zeros((m + n, 3), np.float32)
+    logits[np.arange(m + n), gt] = 5.0
+    # mislabel every constraint in gt: with stoch mode the score must ignore it
+    gt_bad_cons = gt.copy()
+    gt_bad_cons[:m] = 2
+    acc_plain, prec_plain, recl_plain = accuracy(
+        logits, gt_bad_cons, m, return_pr=True)
+    acc_stoch, prec_stoch, recl_stoch = accuracy(
+        logits, gt_bad_cons, m, return_pr=True, dataset_name="stoch")
+    assert acc_plain < 1.0 and acc_stoch == 1.0
+    assert prec_stoch == 1.0 and recl_stoch == 1.0
+    # non-stoch names keep two-sided scoring
+    assert accuracy(logits, gt_bad_cons, m, dataset_name="mirp") == acc_plain
+
+
 def test_bf16_compute_close_to_fp32(rng):
     """bf16 stack must stay close to fp32 (mask applied in fp32 keeps logits
     bounded, arch.py:133-135 rationale)."""
