@@ -166,9 +166,36 @@ def clean_str(s: str) -> str:
     return s
 
 
+#: dataset tokens recoverable from an exp name, longest-prefix-wins order
+#: (this framework's families + the reference's own list, utils.py:862-865).
+_DATASET_TRIES = (
+    "mirp_like-perm", "mirp_like", "miplib_like-perm", "miplib_like",
+    "transport-perm", "transport", "netflow-perm", "netflow",
+    "packing-perm", "packing", "stoch-perm", "svm-perm", "svm",
+    "small-perm", "medium-inv", "medium-perm", "medium", "mirp", "small",
+    "libsvm_6", "miplib_8", "generated_15-10", "generated_15-1",
+    "stoch-sc-5", "stoch-sc", "stoch-el", "stoch",
+)
+
+
 def parse_str(exp_nm: str, key: str) -> str:
     """Recover a config token from an exp name (reference utils.py:862-879).
-    Currently supports key='solver_prefix' (the only use, extract_time.py:52)."""
+
+    Keys: 'dataset' (first match in the tries list), 'arch' (GCN_FC
+    hids/depth grid, matched through clean_str encoding), and
+    'solver_prefix' (the extract_time.py:52 use)."""
+    if key == "dataset":
+        for t in _DATASET_TRIES:
+            if t in exp_nm:
+                return t
+        raise ValueError(f"parse fail: no dataset token in {exp_nm!r}")
+    if key == "arch":
+        for hids in (128, 256, 512, 1024):
+            for depth in (3, 5, 7, 9):
+                t = f"GCN_FC(8,8,hids={hids},depth={depth})"
+                if clean_str(t) in exp_nm:
+                    return t
+        raise ValueError(f"parse fail: no arch token in {exp_nm!r}")
     if key == "solver_prefix":
         for sv in ("highs-",):
             if exp_nm.startswith(sv) or f"-{sv}" in exp_nm:

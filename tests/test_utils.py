@@ -94,3 +94,20 @@ def test_parse_args_lp_method_strings(tmp_path):
                           "--log_prefix", str(tmp_path / "r")],
                          make_log_dir=False)
         assert cfg.normalized_lp_method() == want
+
+
+def test_parse_str_roundtrip():
+    """exp-name <-> config token codecs (reference utils.py:857-879)."""
+    from lp_gnn_tpu.config import clean_str, parse_str
+    arch = "GCN_FC(8,8,hids=1024,depth=3)"
+    exp = f"highs--mirp_like-balance-ep800-arch{clean_str(arch)}"
+    assert parse_str(exp, "arch") == arch
+    assert parse_str(exp, "dataset") == "mirp_like"
+    assert parse_str(exp, "solver_prefix") == "highs-"
+    # reference dataset tokens still recoverable; -perm wins over the base
+    assert parse_str("x-medium-inv-y", "dataset") == "medium-inv"
+    assert parse_str("transport-perm-ep60", "dataset") == "transport-perm"
+    assert parse_str("no-solver-here", "solver_prefix") == ""
+    import pytest
+    with pytest.raises(ValueError):
+        parse_str("nothing", "dataset")
