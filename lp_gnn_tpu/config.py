@@ -31,11 +31,20 @@ def apply_platform_env() -> None:
     """Honor LP_GNN_PLATFORM={cpu,tpu,...}: the axon TPU plugin ignores the
     JAX_PLATFORMS env var, so CPU-only runs (CI, multi-chip simulation with
     xla_force_host_platform_device_count) need an in-process config update
-    before first backend use."""
+    before first backend use. Also enables the persistent XLA compilation
+    cache (first TPU compile of the big einsums takes minutes; reruns of
+    the CLI pipeline should not pay it again — previously only bench.py
+    did this)."""
+    import jax
     plat = os.environ.get("LP_GNN_PLATFORM", "")
     if plat and plat != "tpu":
-        import jax
         jax.config.update("jax_platforms", plat)
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.expanduser("~/.cache/lp_gnn_tpu_xla"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:   # older jax without the knobs
+        pass
 
 
 @dataclasses.dataclass
@@ -185,7 +194,9 @@ def parse_str(exp_nm: str, key: str) -> str:
     hids/depth grid, matched through clean_str encoding), and
     'solver_prefix' (the extract_time.py:52 use)."""
     if key == "dataset":
-        for t in _DATASET_TRIES:
+        # longest-token-wins regardless of listing order (an exp name
+        # containing 'libsvm_6' must not match the shorter 'svm' first)
+        for t in sorted(_DATASET_TRIES, key=len, reverse=True):
             if t in exp_nm:
                 return t
         raise ValueError(f"parse fail: no dataset token in {exp_nm!r}")
