@@ -25,6 +25,9 @@ def main():
     ap.add_argument("--vars", type=int, default=32_768)
     ap.add_argument("--hids", type=int, default=128)
     ap.add_argument("--steps", type=int, default=3)
+    ap.add_argument("--halo", action="store_true",
+                    help="boundary halo exchange instead of the "
+                         "all-gather/reduce-scatter decomposition")
     args = ap.parse_args()
 
     # decide the platform BEFORE the first backend touch: a virtual mesh
@@ -67,7 +70,8 @@ def main():
     d = 1
     while d <= want:
         mesh = make_mesh({"edge": d}, devices=jax.devices()[:d])
-        dg = attach_dist_input_agg(partition_graph(pg, d), mesh)
+        dg = attach_dist_input_agg(
+            partition_graph(pg, d, halo=args.halo), mesh)
         step = jax.jit(make_dist_train_step("balanced", optimizer, mesh,
                                             dp_rate=0.0))
         params = params0
@@ -87,6 +91,7 @@ def main():
     base = results[1]
     out = {
         "mode": "virtual-cpu" if virtual else "hardware",
+        "collectives": "halo" if args.halo else "all-gather",
         "edges": args.edges,
         "step_time_s": {str(k): round(v, 4) for k, v in results.items()},
         "scaling_efficiency": {str(k): round(base / (v * k), 3)

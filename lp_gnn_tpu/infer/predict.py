@@ -48,19 +48,23 @@ def model_inference(model: Model, params, g: BipartiteGraph,
 
     Small graphs: one padded full-graph forward. Oversize graphs: exact
     (fanout -1) sampled shards over seed batches, concatenating seed logits.
-    With a ``mesh`` (and the flagship GCN_FC arch), oversize graphs instead
-    run edge-partitioned full-graph distributed inference — the TPU build's
-    replacement for sampled sharding (SURVEY.md §2.3).
+    With a ``mesh``, oversize graphs instead run edge-partitioned full-graph
+    distributed inference — the TPU build's replacement for sampled sharding
+    (SURVEY.md §2.3) — with halo exchange for the GraphConv archs (GEN's
+    softmax aggregation uses its own collective decomposition).
     Returns (logit_cons (m,3), logit_vars (n,3)) numpy, unpadded.
     """
     if mesh is not None and g.nnz > edge_num_thresh and \
-            model.name == "GCN_FC" and "edge" in mesh.axis_names:
-        from ..parallel.edge_partition import partition_graph, dist_apply
+            "edge" in mesh.axis_names:
+        from ..parallel.edge_partition import (
+            partition_graph, dist_apply, DIST_MODELS)
+        assert model.name in DIST_MODELS, model.name
         # shard count = size of the 'edge' axis only (a 2-D dp x edge mesh
         # must not inflate the partition)
         n_shards = dict(zip(mesh.axis_names, mesh.devices.shape))["edge"]
-        dg = partition_graph(pad_graph(g), n_shards)
-        lc, lv = dist_apply(params, dg, mesh)
+        halo = model.name in ("GCN_FC", "GCN", "GCNDeeper")
+        dg = partition_graph(pad_graph(g), n_shards, halo=halo)
+        lc, lv = dist_apply(params, dg, mesh, arch=model.name)
         return (np.asarray(lc)[: g.ncons], np.asarray(lv)[: g.nvars])
     if g.nnz <= edge_num_thresh:
         pg = pad_graph(g)

@@ -44,6 +44,11 @@ def _segment_softmax_agg(logits, values, seg, num_seg, emask):
     mx = jax.ops.segment_max(jnp.where(em, logits, -jnp.inf), seg,
                              num_segments=num_seg, indices_are_sorted=True)
     mx = jnp.where(jnp.isfinite(mx), mx, 0.0)   # empty segments
+    # the max shift cancels exactly in the softmax (per-segment alphas sum
+    # to 1), so its gradient is identically zero — stop it explicitly, as
+    # jax.nn.softmax does (also what makes the distributed pmax analog
+    # differentiable, parallel/edge_partition.py)
+    mx = jax.lax.stop_gradient(mx)
     ex = jnp.where(em, jnp.exp(logits - mx[seg]), 0.0)
     den = jax.ops.segment_sum(ex, seg, num_segments=num_seg,
                               indices_are_sorted=True)

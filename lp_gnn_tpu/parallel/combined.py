@@ -20,13 +20,14 @@ from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
 from .edge_partition import (
-    SHARD_FIELDS, PartitionedGraph, partition_graph, dist_gcn_fc_apply,
-    DIST_LOSSES,
+    SHARD_FIELDS, PartitionedGraph, partition_graph, compute_halo_width,
+    dist_gcn_fc_apply, DIST_LOSSES,
 )
 from ..data.batching import PaddedGraph
 
 
-def partition_batch(pgs: list[PaddedGraph], n_edge: int) -> dict:
+def partition_batch(pgs: list[PaddedGraph], n_edge: int,
+                    halo: bool = False) -> dict:
     """Partition each same-bucket graph and stack: leaves (B, D, ...).
 
     The per-shard edge pad (Es) and the blocked-layout chunk counts are
@@ -34,14 +35,27 @@ def partition_batch(pgs: list[PaddedGraph], n_edge: int) -> dict:
     shapes; every field is padded to the batch maximum with the same no-op
     fill conventions partition_graph uses internally (padding edges target
     the shard's last row / the global last var with val 0; padding chunks
-    aim at the last destination block with val 0)."""
-    dgs = [partition_graph(pg, n_edge) for pg in pgs]
+    aim at the last destination block with val 0). With ``halo=True`` all
+    graphs share one halo width (the batch max) so the slot layout — and
+    therefore every halo field's shape — is identical across the batch."""
+    hw = max(compute_halo_width(pg, n_edge) for pg in pgs) if halo else None
+    dgs = [partition_graph(pg, n_edge, halo=halo, halo_width=hw)
+           for pg in pgs]
     ms = dgs[0].ms
     n_pad = dgs[0].n_pad
+    nh = n_edge * hw if halo else 0
     fills = {"row_r": ms - 1, "row_c": ms - 1,
              "col_r": n_pad - 1, "col_c": n_pad - 1,
              "blkr_src": 0, "blkr_dst": 127, "blkr_out": ms // 128 - 1,
-             "blkc_src": 0, "blkc_dst": 127, "blkc_out": n_pad // 128 - 1}
+             "blkc_src": 0, "blkc_dst": 127, "blkc_out": n_pad // 128 - 1,
+             "blkl_r_src": 0, "blkl_r_dst": 127,
+             "blkl_r_out": ms // 128 - 1,
+             "blkl_c_src": 0, "blkl_c_dst": 127,
+             "blkl_c_out": (n_pad // n_edge) // 128 - 1,
+             "blkh_r_src": 0, "blkh_r_dst": 127,
+             "blkh_r_out": ms // 128 - 1,
+             "blkh_c_src": 0, "blkh_c_dst": 127,
+             "blkh_c_out": -(-nh // 128) - 1}
 
     def pad_to(v, tgt, fill):
         if v.shape == tgt:

@@ -58,9 +58,12 @@ from ..models.layers import linear_apply, add_knowledge, dropout
 
 SHARD_FIELDS = ["row_r", "col_r", "val_r", "row_c", "col_c", "val_c",
                 "c_feas", "y_s", "cons_mask", "v_feas", "y_t", "vars_mask",
+                "nnz_s", "eperm_r", "eperm_c",
                 "blkr_src", "blkr_dst", "blkr_val", "blkr_out",
                 "blkc_src", "blkc_dst", "blkc_val", "blkc_out",
                 "halo_send", "halo_perm", "halo_ids",
+                "blkl_r_src", "blkl_r_dst", "blkl_r_val", "blkl_r_out",
+                "blkl_c_src", "blkl_c_dst", "blkl_c_val", "blkl_c_out",
                 "blkh_r_src", "blkh_r_dst", "blkh_r_val", "blkh_r_out",
                 "blkh_c_src", "blkh_c_dst", "blkh_c_val", "blkh_c_out",
                 "in_agg_c", "in_agg_v"]
@@ -86,6 +89,13 @@ class PartitionedGraph:
     v_feas: np.ndarray     # (D, Ns, 8)
     y_t: np.ndarray        # (D, Ns)
     vars_mask: np.ndarray  # (D, Ns)
+    # per-shard real edge count (padding edges are positional: the first
+    # nnz_s slots of both orderings are real) and the permutations between
+    # the two orderings (X_r = X_c[eperm_r], X_c = X_r[eperm_c]) — the
+    # distributed GEN layer's edge mask and scatter-free gather backward
+    nnz_s: np.ndarray | None = None      # (D,) int32
+    eperm_r: np.ndarray | None = None    # (D, Es) int32
+    eperm_c: np.ndarray | None = None    # (D, Es) int32
     # per-shard chunked block layouts for the MXU SpMM path
     # (data/batching.py block_layout semantics, chunk counts padded equal
     # across shards): blkr = dst local cons rows / src global vars;
@@ -98,11 +108,20 @@ class PartitionedGraph:
     blkc_dst: np.ndarray | None = None
     blkc_val: np.ndarray | None = None
     blkc_out: np.ndarray | None = None
-    # halo exchange (partition_graph(halo=True)): per-pair send lists and
-    # the compact-halo blocked layouts replacing blkr/blkc
+    # halo exchange (partition_graph(halo=True)): per-pair send lists, the
+    # shard-local (own-block, zero-comm) layouts blkl_*, and the compact
+    # off-diagonal halo layouts blkh_* — together replacing blkr/blkc
     halo_send: np.ndarray | None = None  # (D, D, Bh) int32 local var rows
     halo_perm: np.ndarray | None = None  # (D, D*Bh) int32 sort perm
     halo_ids: np.ndarray | None = None   # (D, D*Bh) int32 sorted local ids
+    blkl_r_src: np.ndarray | None = None  # dst local cons / src LOCAL var
+    blkl_r_dst: np.ndarray | None = None
+    blkl_r_val: np.ndarray | None = None
+    blkl_r_out: np.ndarray | None = None
+    blkl_c_src: np.ndarray | None = None  # dst LOCAL var / src local cons
+    blkl_c_dst: np.ndarray | None = None
+    blkl_c_val: np.ndarray | None = None
+    blkl_c_out: np.ndarray | None = None
     blkh_r_src: np.ndarray | None = None  # dst local cons / src halo slot
     blkh_r_dst: np.ndarray | None = None
     blkh_r_val: np.ndarray | None = None
@@ -131,14 +150,61 @@ class PartitionedGraph:
         return self.ns * self.n_shards
 
 
-def partition_graph(pg: PaddedGraph, n_shards: int) -> PartitionedGraph:
-    """Host-side 1D row partition of a padded graph into ``n_shards``."""
-    m_pad = pg.c_feas.shape[0]
-    n_pad0 = pg.v_feas.shape[0]
-    # per-shard sizes rounded to the 128-row MXU block so the blocked SpMM
-    # path applies shard-locally
-    ms = _round_up(-(-m_pad // n_shards), 128)
-    ns = _round_up(-(-n_pad0 // n_shards), 128)
+def _shard_sizes(pg: PaddedGraph, n_shards: int) -> tuple[int, int]:
+    """Per-shard row/var block sizes, rounded to the 128-row MXU block so
+    the blocked SpMM path applies shard-locally.
+
+    Sized from the REAL node counts, not the bucket-padded shapes: bucket
+    padding (up to 50% per axis) would otherwise skew the cut points away
+    from the graph's structure — on banded LPs that misalignment alone
+    inflates the boundary sets by whole blocks. Rows beyond D*ms are
+    guaranteed padding (no nonzero edges) and are simply dropped."""
+    ms = _round_up(-(-int(pg.ncons) // n_shards), 128)
+    ns = _round_up(-(-int(pg.nvars) // n_shards), 128)
+    return ms, ns
+
+
+def compute_halo_width(pg: PaddedGraph, n_shards: int, ms: int | None = None,
+                       ns: int | None = None) -> int:
+    """Max boundary-set size over all (requester, owner) shard pairs —
+    the padded per-pair halo width Bh for ``partition_graph(halo=True)``.
+    Exposed so a batch of graphs can share one width (partition_batch).
+    ``ms``/``ns`` must match the sizes the partition will be built with."""
+    ms0, ns0 = _shard_sizes(pg, n_shards)
+    ms, ns = ms or ms0, ns or ns0
+    row = np.asarray(pg.row_r)
+    col = np.asarray(pg.col_r)
+    val = np.asarray(pg.val_r)
+    w = 1
+    for d in range(n_shards):
+        sel = (row >= d * ms) & (row < (d + 1) * ms) & (val != 0)
+        c = col[sel]
+        for e in range(n_shards):
+            if e == d:
+                continue   # own-block edges never enter the halo
+            ce = c[(c >= e * ns) & (c < (e + 1) * ns)]
+            w = max(w, len(np.unique(ce)))
+    return _round_up(w, 8)
+
+
+def partition_graph(pg: PaddedGraph, n_shards: int, halo: bool = False,
+                    halo_width: int | None = None, ms: int | None = None,
+                    ns: int | None = None) -> PartitionedGraph:
+    """Host-side 1D row partition of a padded graph into ``n_shards``.
+
+    ``halo=True`` additionally precomputes the boundary halo exchange
+    (SURVEY.md §2.3 flagship): per-pair send lists ``halo_send[d, e]`` =
+    local var rows shard ``d`` sends to shard ``e`` (= the vars of ``d``
+    that ``e``'s edges reference), the sorted reduce permutation
+    ``halo_perm``/``halo_ids``, and compact-halo block layouts ``blkh_*``
+    whose var axis is halo slots ``owner*Bh + rank`` instead of the full
+    global var axis. Per layer the wire volume drops from 2*N_pad*F
+    (all_gather + psum_scatter) to 2*D*Bh*F.
+    """
+    ms0, ns0 = _shard_sizes(pg, n_shards)
+    ms = ms or ms0
+    ns = ns or ns0
+    assert ms * n_shards >= int(pg.ncons) and ns * n_shards >= int(pg.nvars)
     n_pad = ns * n_shards
     row = np.asarray(pg.row_r)
     col = np.asarray(pg.col_r)
@@ -165,31 +231,40 @@ def partition_graph(pg: PaddedGraph, n_shards: int) -> PartitionedGraph:
     def shard_nodes(x, per, fill=0):
         tot = per * n_shards
         out = np.full((tot,) + x.shape[1:], fill, dtype=x.dtype)
-        out[: x.shape[0]] = x
+        k = min(x.shape[0], tot)   # rows beyond tot are bucket padding
+        out[:k] = x[:k]
         return out.reshape(n_shards, per, *x.shape[1:])
 
     R_r, C_r, V_r, R_c, C_c, V_c = [], [], [], [], [], []
+    EP_r, EP_c, NNZ = [], [], []
     for d, (r, c, v) in enumerate(shards):
         lo = d * ms
+        k = len(r)
         o1 = np.lexsort((c, r))
         rr, cc, vv = pack(r[o1], c[o1], v[o1], lo)
         R_r.append(rr), C_r.append(cc), V_r.append(vv)
         o2 = np.lexsort((r, c))
         rr, cc, vv = pack(r[o2], c[o2], v[o2], lo)
         R_c.append(rr), C_c.append(cc), V_c.append(vv)
+        # cross-ordering permutations (both orderings place real edges in
+        # the first k slots, so padding maps to itself)
+        inv1 = np.empty(k, np.int64)
+        inv1[o1] = np.arange(k)
+        inv2 = np.empty(k, np.int64)
+        inv2[o2] = np.arange(k)
+        tail = np.arange(k, es)
+        EP_r.append(np.concatenate([inv2[o1], tail]).astype(np.int32))
+        EP_c.append(np.concatenate([inv1[o2], tail]).astype(np.int32))
+        NNZ.append(np.int32(k))
 
     # per-shard blocked layouts (equalize chunk counts by padding with
     # no-op chunks aimed at the last block)
     from ..data.batching import block_layout
 
-    def stacked_blocks(shard_edges, num_dst, local_dst):
+    def stacked_blocks(edge_lists, num_dst):
+        """edge_lists: per-shard (dst, src, val) with dst in [0, num_dst)."""
         outs = []
-        for d, (r, c, v) in enumerate(shard_edges):
-            lo = d * ms
-            if local_dst:
-                dst, src = r - lo, c
-            else:
-                dst, src = c, r - lo
+        for dst, src, v in edge_lists:
             o = np.argsort(dst, kind="stable")
             outs.append(block_layout(dst[o], src[o].astype(np.int32),
                                      v[o].astype(np.float32), num_dst))
@@ -206,10 +281,78 @@ def partition_graph(pg: PaddedGraph, n_shards: int) -> PartitionedGraph:
                 np.stack([padb(o[2], 0.0) for o in outs]),
                 np.stack([padb(o[3], nblk - 1) for o in outs]))
 
-    blkr = stacked_blocks(shards, ms, local_dst=True)
-    blkc = stacked_blocks(shards, n_pad, local_dst=False)
+    blkr = stacked_blocks([(r - d * ms, c, v)
+                           for d, (r, c, v) in enumerate(shards)], ms)
+    blkc = stacked_blocks([(c, r - d * ms, v)
+                           for d, (r, c, v) in enumerate(shards)], n_pad)
+
+    halo_fields = {}
+    if halo:
+        # boundary lists B[d][e]: sorted unique local var ids (in shard e's
+        # block) referenced by shard d's edges. The diagonal stays empty:
+        # own-block edges run against right_local with zero communication
+        # (blkl_* layouts below), so the halo carries only true boundary
+        # columns.
+        blists = [[(np.unique(c[(c >= e * ns) & (c < (e + 1) * ns)] - e * ns)
+                    .astype(np.int32) if e != d else
+                    np.zeros(0, np.int32)) for e in range(n_shards)]
+                  for d, (_, c, _) in enumerate(shards)]
+        req = max((len(b) for per in blists for b in per), default=1)
+        bh = halo_width or _round_up(max(req, 1), 8)
+        assert bh >= req, (bh, req)
+        nh = n_shards * bh
+        # halo_send[d, e] = what d SENDS to e = B[e][d]; padding entries
+        # point at local row 0 — they only ever carry zero partials in the
+        # reduce direction and are never referenced in the gather direction
+        halo_send = np.zeros((n_shards, n_shards, bh), np.int32)
+        for d in range(n_shards):
+            for e in range(n_shards):
+                ids = blists[e][d]
+                halo_send[d, e, : len(ids)] = ids
+        halo_perm = np.zeros((n_shards, nh), np.int32)
+        halo_ids = np.zeros((n_shards, nh), np.int32)
+        for d in range(n_shards):
+            flat = halo_send[d].reshape(-1)
+            p = np.argsort(flat, kind="stable").astype(np.int32)
+            halo_perm[d] = p
+            halo_ids[d] = flat[p]
+        # split each shard's edges into own-block (local var ids, no comm)
+        # and off-diagonal (halo slot owner*bh + rank in B[d][owner])
+        local_edges, slot_edges = [], []
+        for d, (r, c, v) in enumerate(shards):
+            owner = c // ns
+            own = owner == d
+            local_edges.append((r[own] - d * ms, c[own] - d * ns, v[own]))
+            ro, co, vo = r[~own], c[~own], v[~own]
+            owner = owner[~own]
+            c_loc = co - owner * ns
+            rank = np.empty(len(co), np.int64)
+            for e in range(n_shards):
+                sel = owner == e
+                rank[sel] = np.searchsorted(blists[d][e], c_loc[sel])
+            slot_edges.append((ro - d * ms, owner * bh + rank, vo))
+        blkl_r = stacked_blocks([(dst, src, v)
+                                 for dst, src, v in local_edges], ms)
+        blkl_c = stacked_blocks([(src, dst, v)
+                                 for dst, src, v in local_edges], ns)
+        blkh_r = stacked_blocks([(dst, slot, v)
+                                 for dst, slot, v in slot_edges], ms)
+        blkh_c = stacked_blocks([(slot, dst, v)
+                                 for dst, slot, v in slot_edges], nh)
+        halo_fields = dict(
+            halo_send=halo_send, halo_perm=halo_perm, halo_ids=halo_ids,
+            blkl_r_src=blkl_r[0], blkl_r_dst=blkl_r[1], blkl_r_val=blkl_r[2],
+            blkl_r_out=blkl_r[3],
+            blkl_c_src=blkl_c[0], blkl_c_dst=blkl_c[1], blkl_c_val=blkl_c[2],
+            blkl_c_out=blkl_c[3],
+            blkh_r_src=blkh_r[0], blkh_r_dst=blkh_r[1], blkh_r_val=blkh_r[2],
+            blkh_r_out=blkh_r[3],
+            blkh_c_src=blkh_c[0], blkh_c_dst=blkh_c[1], blkh_c_val=blkh_c[2],
+            blkh_c_out=blkh_c[3],
+        )
 
     return PartitionedGraph(
+        **halo_fields,
         row_r=np.stack(R_r), col_r=np.stack(C_r), val_r=np.stack(V_r),
         row_c=np.stack(R_c), col_c=np.stack(C_c), val_c=np.stack(V_c),
         c_feas=shard_nodes(np.asarray(pg.c_feas), ms),
@@ -218,17 +361,133 @@ def partition_graph(pg: PaddedGraph, n_shards: int) -> PartitionedGraph:
         v_feas=shard_nodes(np.asarray(pg.v_feas), ns),
         y_t=shard_nodes(np.asarray(pg.y_t), ns),
         vars_mask=shard_nodes(np.asarray(pg.vars_mask), ns, fill=False),
+        nnz_s=np.asarray(NNZ, np.int32),
+        eperm_r=np.stack(EP_r), eperm_c=np.stack(EP_c),
         blkr_src=blkr[0], blkr_dst=blkr[1], blkr_val=blkr[2], blkr_out=blkr[3],
         blkc_src=blkc[0], blkc_dst=blkc[1], blkc_val=blkc[2], blkc_out=blkc[3],
         n_shards=n_shards,
     )
 
 
+# --------------------------------------------------------------- halo exchange
+@partial(jax.custom_vjp, nondiff_argnums=(4,))
+def halo_gather(x, halo_send, halo_perm, halo_ids, ax):
+    """Collect the remote var rows this shard's edges reference.
+
+    One ``all_to_all`` moves only boundary rows: shard d sends
+    ``x[halo_send[e]]`` to each peer e and receives the compact halo buffer
+    H (D*Bh, F) whose slot ``e*Bh + k`` holds the feature of the k-th
+    boundary var owned by shard e (the blkh_* layouts index this buffer).
+    Backward = :func:`halo_reduce`'s comm pattern (exact transpose): route
+    slot cotangents back to their owners and segment-sum over the sorted
+    local ids — no unsorted TPU scatter.
+
+    Args (per-shard views inside shard_map):
+      x: (ns, F) local var features.
+      halo_send: (D, Bh) int32 local var rows to send to each peer.
+      halo_perm: (D*Bh,) int32 sort permutation of halo_send.flatten().
+      halo_ids:  (D*Bh,) int32 = halo_send.flatten()[halo_perm] (ascending).
+      ax: mesh axis name (static).
+    """
+    send = x[halo_send.reshape(-1)]
+    return jax.lax.all_to_all(send, ax, split_axis=0, concat_axis=0,
+                              tiled=True)
+
+
+def _halo_gather_fwd(x, halo_send, halo_perm, halo_ids, ax):
+    out = halo_gather(x, halo_send, halo_perm, halo_ids, ax)
+    return out, (halo_perm, halo_ids, x.shape[0])
+
+
+def _halo_gather_bwd(ax, res, g):
+    halo_perm, halo_ids, ns = res
+    back = jax.lax.all_to_all(g, ax, split_axis=0, concat_axis=0, tiled=True)
+    dx = jax.ops.segment_sum(back[halo_perm], halo_ids, num_segments=ns,
+                             indices_are_sorted=True)
+    return dx, None, None, None
+
+
+halo_gather.defvjp(_halo_gather_fwd, _halo_gather_bwd)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def halo_reduce(part, halo_send, halo_perm, halo_ids, ns, ax):
+    """Route transpose partial sums back to their owner shards.
+
+    ``part`` (D*Bh, F) holds this shard's partial aggregates for remote
+    boundary vars, in halo-slot layout. One ``all_to_all`` returns each
+    partial to the var's owner, where a *sorted* segment-sum folds the
+    (possibly repeated, since several peers may reference the same var)
+    contributions into the local (ns, F) block. Padding slots carry exact
+    zeros (no edges target them), so their landing at local row 0 is a
+    no-op. Backward = :func:`halo_gather`'s comm pattern (exact transpose).
+    """
+    back = jax.lax.all_to_all(part, ax, split_axis=0, concat_axis=0,
+                              tiled=True)
+    return jax.ops.segment_sum(back[halo_perm], halo_ids, num_segments=ns,
+                               indices_are_sorted=True)
+
+
+def _halo_reduce_fwd(part, halo_send, halo_perm, halo_ids, ns, ax):
+    out = halo_reduce(part, halo_send, halo_perm, halo_ids, ns, ax)
+    return out, (halo_send,)
+
+
+def _halo_reduce_bwd(ns, ax, res, g):
+    (halo_send,) = res
+    send = g[halo_send.reshape(-1)]
+    dpart = jax.lax.all_to_all(send, ax, split_axis=0, concat_axis=0,
+                               tiled=True)
+    return dpart, None, None, None
+
+
+halo_reduce.defvjp(_halo_reduce_fwd, _halo_reduce_bwd)
+
+
 # ----------------------------------------------------------- per-shard kernels
 def _dist_aggs(shard, left_local, right_local, ms, n_pad, ax):
     """Both aggregation directions of one distributed bidir conv:
-    agg_c = (A right)_local rows, agg_v = reduce-scattered (A^T left)."""
+    agg_c = (A right)_local rows, agg_v = reduce-scattered (A^T left).
+
+    With halo layouts present (partition_graph(halo=True)) both full-width
+    collectives are replaced by the boundary exchange: halo_gather feeds the
+    local-rows SpMM from the compact halo buffer, and the transpose SpMM
+    emits halo-slot partials that halo_reduce returns to their owners."""
     from ..ops.spmm import blocked_spmm
+    if shard.get("blkh_r_src") is not None:
+        ns = right_local.shape[0]
+        nh = shard["halo_perm"].shape[0]
+        h = halo_gather(right_local, shard["halo_send"], shard["halo_perm"],
+                        shard["halo_ids"], ax)
+        # cons <- vars: own-block edges read right_local directly (zero
+        # comm); boundary edges read the compact halo buffer
+        tr_l = (shard["blkl_c_src"], shard["blkl_c_dst"],
+                shard["blkl_c_val"], shard["blkl_c_out"])
+        agg_c = blocked_spmm(shard["blkl_r_src"], shard["blkl_r_dst"],
+                             shard["blkl_r_val"], shard["blkl_r_out"],
+                             right_local, tr_l, ms // 128)[:ms]
+        tr_h = (shard["blkh_c_src"], shard["blkh_c_dst"],
+                shard["blkh_c_val"], shard["blkh_c_out"])
+        agg_c = agg_c + blocked_spmm(
+            shard["blkh_r_src"], shard["blkh_r_dst"],
+            shard["blkh_r_val"], shard["blkh_r_out"],
+            h, tr_h, ms // 128)[:ms]
+        # vars <- cons: own-block partials land locally; boundary partials
+        # ride the return all_to_all
+        tr_lr = (shard["blkl_r_src"], shard["blkl_r_dst"],
+                 shard["blkl_r_val"], shard["blkl_r_out"])
+        agg_v = blocked_spmm(shard["blkl_c_src"], shard["blkl_c_dst"],
+                             shard["blkl_c_val"], shard["blkl_c_out"],
+                             left_local, tr_lr, ns // 128)[:ns]
+        tr_hr = (shard["blkh_r_src"], shard["blkh_r_dst"],
+                 shard["blkh_r_val"], shard["blkh_r_out"])
+        part = blocked_spmm(shard["blkh_c_src"], shard["blkh_c_dst"],
+                            shard["blkh_c_val"], shard["blkh_c_out"],
+                            left_local, tr_hr, -(-nh // 128))[:nh]
+        agg_v = agg_v + halo_reduce(part, shard["halo_send"],
+                                    shard["halo_perm"], shard["halo_ids"],
+                                    ns, ax)
+        return agg_c, agg_v
     right_full = jax.lax.all_gather(right_local, ax, axis=0, tiled=True)
     use_blocked = shard.get("blkr_src") is not None
     # cons <- vars: purely local rows
@@ -304,6 +563,185 @@ def dist_gcn_fc_apply(params, shard, ms, n_pad, ax, dp_rate=0.1,
     left = linear_apply(params["lin_left"], left)
     right = linear_apply(params["lin_right"], right)
     return add_knowledge(left, right, x_left, x_right)
+
+
+# ----------------------------------------------------- other model families
+# Distributed forwards for the rest of the model zoo (reference
+# arch.py:144-289), so every arch can run edge-partitioned — not only the
+# flagship (round-1 gate at infer/predict.py dropped).
+
+def dist_gcn_apply(params, shard, ms, n_pad, ax, dp_rate=0.1,
+                   train=False, rng=None):
+    """Distributed GCN forward (models/gcn.py make_gcn: 3 fixed convs)."""
+    x_left = shard["c_feas"]
+    x_right = shard["v_feas"]
+    aggs = None
+    if shard.get("in_agg_c") is not None and shard.get("in_agg_v") is not None:
+        aggs = (shard["in_agg_c"], shard["in_agg_v"])
+    left, right = _dist_bidir_conv(params["conv1"], shard, x_left, x_right,
+                                   ms, n_pad, ax, aggs=aggs)
+    left, right = jax.nn.relu(left), jax.nn.relu(right)
+    left, right = _dist_bidir_conv(params["conv2"], shard, left, right,
+                                   ms, n_pad, ax)
+    left, right = jax.nn.relu(left), jax.nn.relu(right)
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+    rng = jax.random.fold_in(rng, jax.lax.axis_index(ax))
+    k1, k2 = jax.random.split(rng)
+    left = dropout(left, dp_rate, k1, train)
+    right = dropout(right, dp_rate, k2, train)
+    left, right = _dist_bidir_conv(params["conv3"], shard, left, right,
+                                   ms, n_pad, ax)
+    return add_knowledge(left, right, x_left, x_right)
+
+
+def dist_gcn_rand_apply(params, shard, ms, n_pad, ax, dp_rate=0.1,
+                        train=False, rng=None):
+    """Distributed random-logit control (models/gcn.py make_gcn_rand):
+    per-shard uniforms through the local knowledge mask — no comm at all."""
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+    rng = jax.random.fold_in(rng, jax.lax.axis_index(ax))
+    k1, k2 = jax.random.split(rng)
+    left = jax.random.uniform(k1, (shard["c_feas"].shape[0], 3))
+    right = jax.random.uniform(k2, (shard["v_feas"].shape[0], 3))
+    return add_knowledge(left, right, shard["c_feas"], shard["v_feas"])
+
+
+def _dist_gen_softmax_agg_local(logits, values, seg, num_seg, emask):
+    """Shard-local segment softmax (dst side fully owned by this shard) —
+    same math as models/gen.py _segment_softmax_agg."""
+    em = emask[:, None]
+    mx = jax.ops.segment_max(jnp.where(em, logits, -jnp.inf), seg,
+                             num_segments=num_seg, indices_are_sorted=True)
+    mx = jax.lax.stop_gradient(jnp.where(jnp.isfinite(mx), mx, 0.0))
+    ex = jnp.where(em, jnp.exp(logits - mx[seg]), 0.0)
+    den = jax.ops.segment_sum(ex, seg, num_segments=num_seg,
+                              indices_are_sorted=True)
+    alpha = ex / jnp.maximum(den[seg], 1e-16)
+    return jax.ops.segment_sum(alpha * values, seg, num_segments=num_seg,
+                               indices_are_sorted=True)
+
+
+def _dist_gen_softmax_agg_global(logits, values, seg, n_pad, emask, ax):
+    """Cross-shard segment softmax over the full var axis: per-shard
+    segment max -> pmax; exp-sums and weighted sums -> psum_scatter. Exactly
+    the single-chip softmax aggregation (the per-segment denominator is
+    constant within a segment, so num/den == segsum(alpha * values))."""
+    em = emask[:, None]
+    mx_part = jax.ops.segment_max(jnp.where(em, logits, -jnp.inf), seg,
+                                  num_segments=n_pad, indices_are_sorted=True)
+    # pmax has no differentiation rule; the shift's gradient is exactly
+    # zero (models/gen.py stop-gradients the single-chip max identically)
+    mx = jax.lax.pmax(jax.lax.stop_gradient(mx_part), ax)
+    mx = jnp.where(jnp.isfinite(mx), mx, 0.0)
+    ex = jnp.where(em, jnp.exp(logits - mx[seg]), 0.0)
+    den_part = jax.ops.segment_sum(ex, seg, num_segments=n_pad,
+                                   indices_are_sorted=True)
+    num_part = jax.ops.segment_sum(ex * values, seg, num_segments=n_pad,
+                                   indices_are_sorted=True)
+    den = jax.lax.psum_scatter(den_part, ax, scatter_dimension=0, tiled=True)
+    num = jax.lax.psum_scatter(num_part, ax, scatter_dimension=0, tiled=True)
+    return num / jnp.maximum(den, 1e-16)
+
+
+def _gen_mlp(p, aggr, x_dst):
+    from ..models.gen import EPS  # noqa: F401  (doc anchor)
+    h = aggr.astype(x_dst.dtype) + x_dst
+    h = linear_apply(p["mlp"]["l1"], h)
+    from ..models.layers import layer_norm_apply
+    h = layer_norm_apply(p["mlp"]["ln"], h)
+    h = jax.nn.relu(h)
+    return linear_apply(p["mlp"]["l2"], h)
+
+
+def _dist_gen_bidir(p, shard, left, right, ms, n_pad, ax):
+    """Distributed GENConv two-direction layer (models/gen.py semantics).
+
+    cons <- vars: every edge of a local constraint row lives on this shard,
+    so the softmax is shard-local; only the source features cross shards
+    (projected locally first, then one all_gather). vars <- cons: the
+    destination segments span shards — per-shard max is pmax-combined and
+    the exp-sums ride the same psum_scatter the GraphConv path uses."""
+    from ..ops.spmm import gather_src
+    from ..models.gen import EPS
+    ns = right.shape[0]
+    emask = jnp.arange(shard["val_r"].shape[0]) < shard["nnz_s"]
+
+    # ---- r2l: dst = cons (local), edges row-sorted
+    pr = p["r2l"]
+    r_src = linear_apply(pr["lin_src"], right) if "lin_src" in pr else right
+    x_dst_l = linear_apply(pr["lin_dst"], left) if "lin_dst" in pr else left
+    right_full = jax.lax.all_gather(r_src, ax, axis=0, tiled=True)
+    e_r = linear_apply(pr["edge"], shard["val_r"][:, None].astype(right.dtype))
+    xs = gather_src(right_full, shard["col_r"], shard["col_c"],
+                    shard["eperm_c"], n_pad)
+    msg = jax.nn.relu(xs + e_r) + EPS
+    msg32 = msg.astype(jnp.float32)
+    t_r = pr["t"].astype(jnp.float32)
+    aggr_c = _dist_gen_softmax_agg_local(msg32 * t_r, msg32, shard["row_r"],
+                                         ms, emask)
+    left_new = _gen_mlp(pr, aggr_c, x_dst_l)
+
+    # ---- l2r: dst = vars (global segments), edges col-sorted
+    pl = p["l2r"]
+    l_src = linear_apply(pl["lin_src"], left) if "lin_src" in pl else left
+    x_dst_r = linear_apply(pl["lin_dst"], right) if "lin_dst" in pl else right
+    e_c = linear_apply(pl["edge"], shard["val_c"][:, None].astype(left.dtype))
+    xs2 = gather_src(l_src, shard["row_c"], shard["row_r"],
+                     shard["eperm_r"], ms)
+    msg2 = jax.nn.relu(xs2 + e_c) + EPS
+    msg2_32 = msg2.astype(jnp.float32)
+    t_l = pl["t"].astype(jnp.float32)
+    aggr_v = _dist_gen_softmax_agg_global(msg2_32 * t_l, msg2_32,
+                                          shard["col_c"], n_pad, emask, ax)
+    right_new = _gen_mlp(pl, aggr_v, x_dst_r)
+    return left_new, right_new
+
+
+def _make_dist_deeper_apply(conv_fn):
+    """Distributed res+ DeepGCN stack (models/gcn.py _make_deeper)."""
+    from ..models.layers import layer_norm_apply
+
+    def apply(params, shard, ms, n_pad, ax, dp_rate=0.1, train=False,
+              rng=None):
+        x_left = shard["c_feas"]
+        x_right = shard["v_feas"]
+        left, right = conv_fn(params["conv_in"], shard, x_left, x_right,
+                              ms, n_pad, ax)
+        n_mid = len(params["blocks"])
+        if rng is None:
+            rng = jax.random.PRNGKey(0)
+        rng = jax.random.fold_in(rng, jax.lax.axis_index(ax))
+        keys = jax.random.split(rng, 2 * max(n_mid, 1))
+        for i, blk in enumerate(params["blocks"]):
+            h_l = layer_norm_apply(blk["norm_l"], left)
+            h_r = layer_norm_apply(blk["norm_r"], right)
+            h_l, h_r = jax.nn.relu(h_l), jax.nn.relu(h_r)
+            h_l = dropout(h_l, dp_rate, keys[2 * i], train)
+            h_r = dropout(h_r, dp_rate, keys[2 * i + 1], train)
+            h_l, h_r = conv_fn(blk["conv"], shard, h_l, h_r, ms, n_pad, ax)
+            left, right = left + h_l, right + h_r
+        left, right = conv_fn(params["conv_out"], shard, left, right,
+                              ms, n_pad, ax)
+        return add_knowledge(left, right, x_left, x_right)
+
+    return apply
+
+
+dist_gcn_deeper_apply = _make_dist_deeper_apply(_dist_bidir_conv)
+dist_gen_deeper_apply = _make_dist_deeper_apply(_dist_gen_bidir)
+
+#: model-name -> per-shard distributed forward (same signature as
+#: dist_gcn_fc_apply) — the dispatch that replaces the round-1
+#: model.name == "GCN_FC" gate
+DIST_MODELS = {
+    "GCN_FC": dist_gcn_fc_apply,
+    "GCN": dist_gcn_apply,
+    "GCNRand": dist_gcn_rand_apply,
+    "GCNDeeper": dist_gcn_deeper_apply,
+    "GENDeeper": dist_gen_deeper_apply,
+}
 
 
 # -------------------------------------------------------------- dist. losses
@@ -384,16 +822,19 @@ def attach_dist_input_agg(dg: PartitionedGraph, mesh: Mesh,
 
 
 def dist_apply(params, dg: PartitionedGraph, mesh: Mesh, ax: str = "edge",
-               dp_rate: float = 0.1, train: bool = False, rng=None):
-    """Full-graph distributed forward. Returns gathered logits
+               dp_rate: float = 0.1, train: bool = False, rng=None,
+               arch: str = "GCN_FC"):
+    """Full-graph distributed forward for any registered arch
+    (``DIST_MODELS``). Returns gathered logits
     ((m_pad_total, 3), (n_pad_total, 3))."""
     ms, n_pad = dg.ms, dg.n_pad
+    apply_fn = DIST_MODELS[arch]
     data = _data_dict(dg)
 
     def body(params, data):
         shard = _unshard(data)
-        lc, lv = dist_gcn_fc_apply(params, shard, ms, n_pad, ax,
-                                   dp_rate, train, rng)
+        lc, lv = apply_fn(params, shard, ms, n_pad, ax,
+                          dp_rate, train, rng)
         return lc[None], lv[None]
 
     fn = shard_map(body, mesh=mesh,
@@ -404,9 +845,11 @@ def dist_apply(params, dg: PartitionedGraph, mesh: Mesh, ax: str = "edge",
 
 
 def make_dist_train_step(loss_name: str, optimizer, mesh: Mesh,
-                         ax: str = "edge", dp_rate: float = 0.1):
+                         ax: str = "edge", dp_rate: float = 0.1,
+                         arch: str = "GCN_FC"):
     """Distributed training step over the ``edge`` axis; jit-able."""
     dist_loss = DIST_LOSSES[loss_name]
+    apply_fn = DIST_MODELS[arch]
 
     def body(params, data, rng, lr, n_shards):
         shard = _unshard(data)
@@ -414,8 +857,8 @@ def make_dist_train_step(loss_name: str, optimizer, mesh: Mesh,
         n_pad = shard["v_feas"].shape[0] * n_shards
 
         def compute_loss(params):
-            lc, lv = dist_gcn_fc_apply(params, shard, ms, n_pad, ax,
-                                       dp_rate, train=True, rng=rng)
+            lc, lv = apply_fn(params, shard, ms, n_pad, ax,
+                              dp_rate, train=True, rng=rng)
             loss = dist_loss(lc, lv, shard["y_s"], shard["y_t"],
                              shard["cons_mask"], shard["vars_mask"], ax)
             # Under check_vma=False the transpose of a plain psum is another

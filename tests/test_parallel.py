@@ -76,6 +76,162 @@ def test_dist_train_step_matches_single_chip(rng):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
 
 
+@pytest.mark.parametrize("n_shards", [2, 4, 8])
+def test_halo_forward_matches_all_gather(rng, n_shards):
+    """partition_graph(halo=True) must reproduce both the single-chip and
+    the all-gather-path logits: the compact halo buffer carries exactly the
+    boundary rows each shard's edges reference."""
+    pg = make_pg(rng, m=24, n=40, e=150)
+    model = build_model("GCN_FC(8,8,hids=16,depth=3)")
+    params = model.init(jax.random.PRNGKey(0))
+    lc_ref, lv_ref = model.apply(params, pg, train=False)
+
+    mesh = make_mesh({"edge": n_shards})
+    dg_ag = partition_graph(pg, n_shards)
+    dg_h = partition_graph(pg, n_shards, halo=True)
+    assert dg_h.halo_send is not None and dg_h.blkh_r_src is not None
+    lc_ag, lv_ag = dist_apply(params, dg_ag, mesh)
+    lc_h, lv_h = dist_apply(params, dg_h, mesh)
+    m_pad, n_pad = pg.c_feas.shape[0], pg.v_feas.shape[0]
+    np.testing.assert_allclose(np.asarray(lc_h)[:m_pad],
+                               np.asarray(lc_ref), atol=5e-4)
+    np.testing.assert_allclose(np.asarray(lv_h)[:n_pad],
+                               np.asarray(lv_ref), atol=5e-4)
+    np.testing.assert_allclose(np.asarray(lc_h), np.asarray(lc_ag),
+                               atol=5e-5)
+    np.testing.assert_allclose(np.asarray(lv_h), np.asarray(lv_ag),
+                               atol=5e-5)
+
+
+@pytest.mark.parametrize("n_shards", [2, 8])
+def test_halo_train_step_matches_single_chip(rng, n_shards):
+    """One halo-exchange training step == the single-chip step: the
+    halo_gather / halo_reduce custom VJPs are exact mutual transposes."""
+    import optax
+    pg = make_pg(rng, m=24, n=40, e=150)
+    model = build_model("GCN_FC(8,8,hids=16,depth=3)")
+    params = model.init(jax.random.PRNGKey(0))
+    optimizer = make_optimizer("sgd")
+
+    def single_loss(p):
+        lc, lv = model.apply(p, pg, train=False)
+        ms, mt = seed_masks(pg)
+        return balanced(lc, lv, pg.y_s, pg.y_t, ms, mt)
+
+    loss_ref, grads_ref = jax.value_and_grad(single_loss)(params)
+    upd_ref, _ = optimizer.update(grads_ref, optimizer.init(params), params)
+    p_ref = optax.apply_updates(params,
+                                jax.tree.map(lambda u: -1e-3 * u, upd_ref))
+
+    mesh = make_mesh({"edge": n_shards})
+    dg = partition_graph(pg, n_shards, halo=True)
+    step = make_dist_train_step("balanced", optimizer, mesh, dp_rate=0.0)
+    p2, _, loss = step(params, optimizer.init(params), dg,
+                       jax.random.PRNGKey(1), jnp.float32(1e-3))
+    assert np.isclose(float(loss), float(loss_ref), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(p2), jax.tree.leaves(p_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def _banded_pg(rng, m=2048, n=4096, nnz_per_row=8, band=64):
+    """mirp-like banded LP: each constraint references vars inside a
+    sliding window (time-period structure) — the shape whose boundary sets
+    are small relative to the var axis."""
+    from lp_gnn_tpu.data.dataset import BipartiteGraph
+    rows, cols = [], []
+    for i in range(m):
+        c0 = int(i * (n - band) / max(m - 1, 1))
+        cols.append(c0 + rng.randint(0, band, nnz_per_row))
+        rows.append(np.full(nnz_per_row, i))
+    row = np.concatenate(rows).astype(np.int32)
+    col = np.concatenate(cols).astype(np.int32)
+    e = len(row)
+    g = BipartiteGraph(row=row, col=col,
+                       val=(rng.rand(e).astype(np.float32) - 0.5),
+                       c_feas=rng.rand(m, 8).astype(np.float32),
+                       v_feas=rng.rand(n, 8).astype(np.float32),
+                       y_s=rng.randint(0, 3, m).astype(np.int32),
+                       y_t=rng.randint(0, 3, n).astype(np.int32))
+    return pad_graph(g)
+
+
+def test_halo_wire_volume_small_on_banded_graph(rng):
+    """On banded LP families the halo volume must be a small fraction of
+    the full-width collectives: 2*D*Bh*F (halo) vs 2*N_pad*F (all-gather +
+    psum_scatter) per shard per layer."""
+    from lp_gnn_tpu.parallel.edge_partition import compute_halo_width
+    pg = _banded_pg(rng)
+    n_shards = 8
+    dg = partition_graph(pg, n_shards, halo=True)
+    bh = dg.halo_send.shape[-1]
+    assert bh == compute_halo_width(pg, n_shards)
+    nh = n_shards * bh
+    n_pad = dg.n_pad
+    assert nh < n_pad / 4, (nh, n_pad)
+    # and the halo path still matches the all-gather decomposition
+    model = build_model("GCN_FC(8,8,hids=16,depth=3)")
+    params = model.init(jax.random.PRNGKey(0))
+    mesh = make_mesh({"edge": n_shards})
+    lc_ag, lv_ag = dist_apply(params, partition_graph(pg, n_shards), mesh)
+    lc_h, lv_h = dist_apply(params, dg, mesh)
+    np.testing.assert_allclose(np.asarray(lc_h), np.asarray(lc_ag), atol=5e-5)
+    np.testing.assert_allclose(np.asarray(lv_h), np.asarray(lv_ag), atol=5e-5)
+
+
+@pytest.mark.parametrize("arch,halo", [
+    ("GCN(8,8,hids=16)", True),
+    ("GCNDeeper(8,8,hids=16,depth=5)", True),
+    ("GENDeeper(8,8,hids=16,depth=4)", False),
+])
+def test_dist_forward_all_archs(rng, arch, halo):
+    """Every registered arch runs edge-partitioned and matches its
+    single-chip logits (reference arch.py:144-289; round-1 gated the
+    distributed path to GCN_FC only). GEN's softmax aggregation uses the
+    cross-shard pmax/psum decomposition instead of halo layouts."""
+    pg = make_pg(rng, m=24, n=40, e=150)
+    model = build_model(arch)
+    params = model.init(jax.random.PRNGKey(0))
+    lc_ref, lv_ref = model.apply(params, pg, train=False)
+    mesh = make_mesh({"edge": 4})
+    dg = partition_graph(pg, 4, halo=halo)
+    lc, lv = dist_apply(params, dg, mesh, arch=model.name)
+    m_pad, n_pad = pg.c_feas.shape[0], pg.v_feas.shape[0]
+    np.testing.assert_allclose(np.asarray(lc)[:m_pad], np.asarray(lc_ref),
+                               atol=5e-4)
+    np.testing.assert_allclose(np.asarray(lv)[:n_pad], np.asarray(lv_ref),
+                               atol=5e-4)
+
+
+def test_dist_gen_train_step_matches_single_chip(rng):
+    """One distributed GENDeeper step == the single-chip step: the
+    cross-shard segment softmax (pmax of per-shard maxes, psum_scatter of
+    exp-sums) backpropagates identically to the local softmax."""
+    import optax
+    pg = make_pg(rng, m=24, n=40, e=150)
+    model = build_model("GENDeeper(8,8,hids=16,depth=4)")
+    params = model.init(jax.random.PRNGKey(0))
+    optimizer = make_optimizer("sgd")
+
+    def single_loss(p):
+        lc, lv = model.apply(p, pg, train=False)
+        ms, mt = seed_masks(pg)
+        return balanced(lc, lv, pg.y_s, pg.y_t, ms, mt)
+
+    loss_ref, grads_ref = jax.value_and_grad(single_loss)(params)
+    upd_ref, _ = optimizer.update(grads_ref, optimizer.init(params), params)
+    p_ref = optax.apply_updates(params,
+                                jax.tree.map(lambda u: -1e-3 * u, upd_ref))
+    mesh = make_mesh({"edge": 4})
+    dg = partition_graph(pg, 4)
+    step = make_dist_train_step("balanced", optimizer, mesh, dp_rate=0.0,
+                                arch=model.name)
+    p2, _, loss = step(params, optimizer.init(params), dg,
+                       jax.random.PRNGKey(1), jnp.float32(1e-3))
+    assert np.isclose(float(loss), float(loss_ref), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(p2), jax.tree.leaves(p_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
 def test_dp_train_step_runs_and_improves(rng):
     graphs = [make_pg(np.random.RandomState(i), m=6, n=10, e=18)
               for i in range(8)]
