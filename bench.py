@@ -33,6 +33,11 @@ precision: bf16 compute with fp32 SpMM accumulation/masking — validated
 end to end at full scale (RESULTS.md: the 800-epoch bf16 run matches fp32
 val accuracy at 0.854 and improves warm-start reduction, 1.84x native /
 1.67x HiGHS vs fp32's 1.76x / 1.63x).
+
+Set ``BENCH_MEASURE_BASELINE=1`` to re-measure the naive scatter baseline
+live in the same run (fp32 ``segment_spmm`` path, block layouts stripped, no
+input-agg caching — the direct port) instead of using the recorded constant;
+the JSON line then reports ``baseline_source: "measured"``.
 """
 import json
 import os
@@ -46,7 +51,8 @@ N = int(os.environ.get("BENCH_VARS", 131_072))
 HIDS = int(os.environ.get("BENCH_HIDS", 256))
 SPMM_PER_EDGE = 6  # 2 convs x 2 directions fwd + hidden conv x 2 bwd
 # XLA scatter-add segment-sum path on the same chip/shape (the naive port):
-# 715 ms/step == 8.4M edge-traversals/s (see module docstring)
+# 715 ms/step == 8.4M edge-traversals/s (see module docstring). Re-measured
+# live when BENCH_MEASURE_BASELINE=1.
 SCATTER_BASELINE_EDGES_S = 1_000_000 * 6 / 0.715
 
 
@@ -107,6 +113,42 @@ def measure(device, pg, n_warmup=2, n_steps=5):
         return (time.time() - t0) / n_steps
 
 
+def measure_baseline(device, pg, n_warmup=1, n_steps=2):
+    """Live re-measurement of the naive scatter-port baseline: fp32
+    ``segment_spmm`` (gather + XLA segment-sum), block layouts stripped so
+    the sorted-scatter path is what runs, no input-agg caching — the
+    implementation a direct translation of the reference's torch_sparse hot
+    loop (SURVEY.md §3.2) would land on."""
+    import dataclasses
+    import jax
+    import jax.numpy as jnp
+    from lp_gnn_tpu.models.gcn import build_model
+    from lp_gnn_tpu.train.trainer import make_optimizer, make_scan_train_step
+
+    model = build_model(f"GCN_FC(8,8,hids={HIDS},depth=3,dtype='float32')")
+    pg_naive = dataclasses.replace(
+        pg, blkr_src=None, blkr_dst=None, blkr_val=None, blkr_out=None,
+        blkr_ptr=None, blkc_src=None, blkc_dst=None, blkc_val=None,
+        blkc_out=None, blkc_ptr=None)
+    with jax.default_device(device):
+        params = model.init(jax.random.PRNGKey(0))
+        optimizer = make_optimizer("adam")
+        opt_state = optimizer.init(params)
+        step = make_scan_train_step(model, "balanced", optimizer,
+                                    stacked=False)
+        pg_d = jax.device_put(pg_naive, device)
+        rngs = jax.random.split(jax.random.PRNGKey(0), n_steps)
+        lr = jnp.float32(1e-3)
+        for _ in range(n_warmup):
+            params, opt_state, losses, _ = step(params, opt_state, pg_d,
+                                                rngs, lr)
+        float(losses[-1])
+        t0 = time.time()
+        params, opt_state, losses, _ = step(params, opt_state, pg_d, rngs, lr)
+        float(losses[-1])
+        return (time.time() - t0) / n_steps
+
+
 def main():
     import jax
     try:
@@ -119,11 +161,18 @@ def main():
     dev = jax.devices()[0]
     t_dev = measure(dev, pg)
     value = E * SPMM_PER_EDGE / t_dev
+    baseline, baseline_source = SCATTER_BASELINE_EDGES_S, "constant"
+    if os.environ.get("BENCH_MEASURE_BASELINE", "") == "1":
+        t_base = measure_baseline(dev, pg)
+        baseline = E * SPMM_PER_EDGE / t_base
+        baseline_source = "measured"
     print(json.dumps({
         "metric": "spmm_edge_traversals_per_s_per_chip",
         "value": round(value, 1),
         "unit": "edges/s",
-        "vs_baseline": round(value / SCATTER_BASELINE_EDGES_S, 3),
+        "vs_baseline": round(value / baseline, 3),
+        "baseline_edges_s": round(baseline, 1),
+        "baseline_source": baseline_source,
     }))
 
 

@@ -148,7 +148,6 @@ def predict_and_write_bases(model: Model, params, ds: LPDataset, cfg: Config,
     ``decode_kwargs`` carries the InferenceManager's configured mode/gnn_wei
     through to the decode function."""
     os.makedirs(out_dir, exist_ok=True)
-    inf_times = {}
     for i in range(len(ds)):
         g = ds[i]
         lc, lv = model_inference(model, params, g, cfg.edge_num_thresh,
@@ -161,7 +160,8 @@ def predict_and_write_bases(model: Model, params, ds: LPDataset, cfg: Config,
         fn = osp.join(out_dir, f"{g.fn}.bas")
         write_bas_highs(fn, vbas=pred_var, cbas=pred_con)
         _write_sort_vars(fn + ".sort", logits, m)
-    return inf_times
+    # per-LP timing is a separate pure-inference pass (timed_inference),
+    # mirroring the reference's two-pass design (pred_basis.py:158-176)
 
 
 def _nnzs_for_decode(g: BipartiteGraph, decode_fn):

@@ -31,12 +31,25 @@ def _read_lines(out: str) -> list[str]:
 
 def extract_time(out: str):
     """Parse (iterations, run_time) from a solver log
-    (reference utils.py:621-660)."""
+    (reference utils.py:621-660). Handles both log dialects the reference
+    does: HiGHS-shaped ('Model status' / 'iterations' / 'run time' lines)
+    and CPLEX-shaped ('Solution time =  T sec.  Iterations = N' lines,
+    utils.py:641-645); the dialect is tracked from the banner."""
     lines = _read_lines(out)
+    whose_log = "cplex"   # reference default until a banner says otherwise
     iters, tm = 0, None
     for line in lines:
+        if "CPLEX" in line:
+            whose_log = "cplex"
+        if "HiGHS" in line:
+            whose_log = "highs"
+        if whose_log == "cplex" and line[:13] == "Solution time":
+            parts = [x for x in line.split(" ") if x != ""]
+            return int(parts[7]), float(parts[3])
         if "unable open file" in line:
             return -3, -3
+        if whose_log != "highs":
+            continue
         if "status" in line and "Model" in line:
             if "Optimal" not in line:
                 return -1, -1

@@ -41,6 +41,7 @@ class SolveResult:
     col_status: np.ndarray      # (n,) int 0/1/2 (3->kZero mapped to 0)
     row_status: np.ndarray      # (m,) int
     log: str
+    basis_rejected: bool = False  # warm basis refused -> solve ran cold
 
 
 def _lp_to_highs(lp: LPData):
@@ -86,6 +87,7 @@ def solve_lp(lp: LPData, method: int = 1, basis_in=None,
     if time_limit is not None:
         h.setOptionValue("time_limit", float(time_limit))
     h.passModel(_lp_to_highs(lp))
+    rejected = False
     if basis_in is not None:
         col_in, row_in = basis_in
         b = _hs.HighsBasis()
@@ -96,10 +98,13 @@ def solve_lp(lp: LPData, method: int = 1, basis_in=None,
         if st != _hs.HighsStatus.kOk:
             # a rejected basis means HiGHS solves COLD — recording that as
             # a warm-start result would corrupt the iteration-reduction
-            # metric, so fail loudly instead
+            # metric, so mark the run as failed (the log sentinel parses to
+            # the reference's -1 error code, utils.py:621-626, and the impr
+            # columns mask it out)
+            rejected = True
             import logging
             logging.error("HiGHS rejected the warm-start basis (%s); the "
-                          "solve will run cold", st)
+                          "solve runs cold and is recorded as failed", st)
     t0 = time.time()
     h.run()
     dt = time.time() - t0
@@ -108,11 +113,13 @@ def solve_lp(lp: LPData, method: int = 1, basis_in=None,
     basis = h.getBasis()
     col_status = _statuses_to_ints(basis.col_status)
     row_status = _statuses_to_ints(basis.row_status)
-    log = _format_log(status, info.simplex_iteration_count, dt,
+    log_status = "WarmBasisRejected (ran cold)" if rejected else status
+    log = _format_log(log_status, info.simplex_iteration_count, dt,
                       info.objective_function_value)
     return SolveResult(status=status, niter=int(info.simplex_iteration_count),
                        run_time=dt, objective=float(info.objective_function_value),
-                       col_status=col_status, row_status=row_status, log=log)
+                       col_status=col_status, row_status=row_status, log=log,
+                       basis_rejected=rejected)
 
 
 def _format_log(status: str, niter: int, run_time: float, obj: float) -> str:
@@ -137,11 +144,22 @@ def solve_mps(mps_path: str, method: int = 1, basis_in_path: str | None = None,
     [-bi IN.bas] [-bo OUT.bas] -ss METHOD`` (run_solver.py:30,
     run_solver_from_basis.py:27)."""
     lp = read_mps(mps_path)
-    basis_in = None
+    basis_in, parse_failed = None, False
     if basis_in_path:
-        row_in, col_in = read_bas_highs(basis_in_path)
-        basis_in = (col_in, row_in)
+        try:
+            row_in, col_in = read_bas_highs(basis_in_path)
+            basis_in = (col_in, row_in)
+        except Exception as e:   # unparseable basis == rejected warm start
+            parse_failed = True
+            import logging
+            logging.error("unreadable warm-start basis %s (%s); recorded as "
+                          "failed", basis_in_path, e)
     res = solve_lp(lp, method=method, basis_in=basis_in, random_seed=random_seed)
+    if parse_failed:
+        res = dataclasses.replace(
+            res, basis_rejected=True,
+            log=_format_log("WarmBasisRejected (unreadable)", res.niter,
+                            res.run_time, res.objective))
     if basis_out_path:
         os.makedirs(os.path.dirname(basis_out_path) or ".", exist_ok=True)
         write_bas_highs(basis_out_path, vbas=res.col_status, cbas=res.row_status)

@@ -180,11 +180,28 @@ def solve_mps(mps_path: str, method: int = 1, basis_in_path: str | None = None,
     from ..io.mps import read_mps
     from ..io.bas import read_bas_highs, write_bas_highs
     lp = read_mps(mps_path)
-    basis_in = None
+    basis_in, parse_failed = None, False
     if basis_in_path:
-        row_in, col_in = read_bas_highs(basis_in_path)
-        basis_in = (col_in, row_in)
+        try:
+            row_in, col_in = read_bas_highs(basis_in_path)
+            m, n = lp.shape
+            if len(row_in) != m or len(col_in) != n:
+                raise ValueError(f"basis sizes ({len(row_in)},{len(col_in)}) "
+                                 f"!= LP ({m},{n})")
+            basis_in = (col_in, row_in)
+        except Exception as e:   # unreadable basis == rejected warm start:
+            # the log sentinel parses to the reference's -1 error code
+            # (utils.py:621-626) so the impr columns mask the row out
+            parse_failed = True
+            import logging
+            logging.error("unreadable warm-start basis %s (%s); recorded as "
+                          "failed", basis_in_path, e)
     res = solve_lp_native(lp, method=method, basis_in=basis_in)
+    if parse_failed:
+        res = dataclasses.replace(
+            res, log=_format_log("WarmBasisRejected (unreadable)", res.niter,
+                                 res.run_time, res.objective, res.n_repair,
+                                 res.fact_time))
     if basis_out_path:
         os.makedirs(osp.dirname(basis_out_path) or ".", exist_ok=True)
         write_bas_highs(basis_out_path, vbas=res.col_status, cbas=res.row_status)

@@ -5,9 +5,10 @@ compatible with ``msgpack_numpy`` (the reference's format, utils.py:193-224),
 so ``raw/*.pk`` / ``processed/*.pk`` blobs written by either side load in both.
 
 Results tables (reference stores pandas HDF5 ``time.h5``, utils.py:227-240):
-pytables is not available in this image, so ``df_dump``/``df_load`` write
-pandas pickle under the same filename — the key/filename contract of the
-pipeline is unchanged.
+``df_dump`` writes real HDF5 whenever pytables is importable (tool-compatible
+with the reference's readers) and falls back to pandas pickle under the same
+filename otherwise (this image lacks pytables); ``df_load`` sniffs the HDF5
+magic bytes so either format reads back transparently.
 """
 from __future__ import annotations
 
@@ -120,11 +121,32 @@ def pickle_load(path: str) -> Any:
 
 
 # --------------------------------------------------------------- results tables
+def _have_pytables() -> bool:
+    try:
+        import tables  # noqa: F401
+        return True
+    except Exception:
+        return False
+
+
+_HDF5_MAGIC = b"\x89HDF\r\n\x1a\n"
+
+
 def df_dump(df: pd.DataFrame, path: str) -> None:
-    """Persist a results table (named ``time.h5`` for pipeline parity)."""
+    """Persist a results table (named ``time.h5`` for pipeline parity).
+
+    Real HDF5 (reference utils.py:227-240 ``df.to_hdf(..., key='df')``) when
+    pytables is importable; pandas pickle otherwise."""
     _mkparent(path)
-    df.to_pickle(path)
+    if _have_pytables():
+        df.to_hdf(path, key="df", mode="w")
+    else:
+        df.to_pickle(path)
 
 
 def df_load(path: str) -> pd.DataFrame:
+    with open(path, "rb") as f:
+        magic = f.read(8)
+    if magic == _HDF5_MAGIC:
+        return pd.read_hdf(path, key="df")
     return pd.read_pickle(path)

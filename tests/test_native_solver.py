@@ -195,3 +195,38 @@ def test_host_spmm_rejects_out_of_range_indices():
     with pytest.raises(AssertionError):
         host_spmm.sddmm_host(np.array([0, 1]), np.array([0, 4]),
                              np.ones((2, 2)), x)       # src 4 >= len(x)
+
+
+def test_native_rejected_warm_basis_masked(tmp_path):
+    """An unreadable or size-mismatched warm basis is recorded as a failed
+    warm solve (-1 sentinel log), mirroring the bridge's behavior."""
+    from lp_gnn_tpu.io.mps import write_mps
+    from lp_gnn_tpu.io.bas import write_bas_highs
+    from lp_gnn_tpu.reporting.extract import extract_time
+    lp = generate_instance("netflow", seed=0, instance=0)
+    mps = str(tmp_path / "a.mps")
+    write_mps(lp, mps)
+    bad = str(tmp_path / "bad.bas")
+    write_bas_highs(bad, vbas=np.zeros(3, np.int64), cbas=np.ones(2, np.int64))
+    log = str(tmp_path / "a.log")
+    res = native.solve_mps(mps, method=1, basis_in_path=bad, log_path=log)
+    assert extract_time(log) == (-1, -1)
+    assert res.status == "Optimal"   # the cold fallback itself succeeded
+
+
+def test_native_ft_update_long_solve_parity():
+    """Forrest-Tomlin stress: a solve spanning several full update/refresh
+    cycles (niter >> REFRESH=400) must keep the factorization exact — the
+    objective matches the vendored-HiGHS oracle to full precision."""
+    lp = generate_instance("mirp_like", seed=1, instance=0, n_ports=15,
+                           n_periods=30, arc_density=0.4)
+    res = native.solve_lp_native(lp, method=1)
+    assert res.status == "Optimal"
+    assert res.niter > 1200   # many FT cycles exercised
+    if HAVE_HIGHS:
+        oracle = solve_lp(lp, method=1)
+        np.testing.assert_allclose(res.objective, oracle.objective, rtol=1e-9)
+    # warm restart from the FT-built optimal basis is free
+    warm = native.solve_lp_native(
+        lp, method=1, basis_in=(res.col_status, res.row_status))
+    assert warm.niter <= 2

@@ -124,6 +124,43 @@ def test_impr_excludes_failed_solves(tmp_path):
     assert np.isnan(row["gnn-bas-0/impr_niter"])
 
 
+CPLEX_LOG = """Log started (V12.8.0.0)
+Welcome to IBM(R) ILOG(R) CPLEX(R) Interactive Optimizer
+Tried aggregator 1 time.
+Solution time =    0.01 sec.  Iterations = 20 (0)
+Deterministic time = 1.97 ticks
+"""
+
+
+def test_extract_time_cplex():
+    """CPLEX-dialect logs (reference utils.py:641-645): iterations and time
+    come from the 'Solution time = T sec.  Iterations = N' line."""
+    assert extract_time(CPLEX_LOG) == (20, 0.01)
+    # a HiGHS banner switches the dialect; the HiGHS shape still parses
+    assert extract_time(GOOD_LOG) == (1234, 0.57)
+    assert extract_time(NATIVE_LOG) == (99, 0.10)
+
+
+def test_rejected_warm_basis_log_masked(tmp_path):
+    """A WarmBasisRejected log (solver ran cold after refusing the basis)
+    parses to the -1 sentinel and is excluded from the impr columns
+    (reference error-code convention, utils.py:621-626)."""
+    rejected = GOOD_LOG.replace("Optimal", "WarmBasisRejected (ran cold)")
+    assert extract_time(rejected) == (-1, -1)
+    log_dir = tmp_path / "run"
+    for method, text in [("highs-no-bas", GOOD_LOG), ("gnn-bas-0", rejected)]:
+        d = log_dir / "log" / method
+        d.mkdir(parents=True)
+        (d / "lp0.log").write_text(text)
+    df = pd.DataFrame({"fn": ["lp0"], "split": ["val"]})
+    h5 = str(tmp_path / "time.h5")
+    df_dump(df, h5)
+    out = collect_results(str(log_dir), h5)
+    row = out[out.fn == "lp0"].iloc[0]
+    assert row["gnn-bas-0/niter"] == -1
+    assert np.isnan(row["gnn-bas-0/impr_niter"])
+
+
 def test_map_back_to_baseline_extended():
     assert map_back_to_baseline("all-slacks-bas-0") == "highs-no-bas"
     assert map_back_to_baseline("gnn-sparsity-mult-0.9-0") == "highs-no-bas"

@@ -73,6 +73,32 @@ def test_solve_mps_files(tmp_path):
     assert res2.niter <= 2
 
 
+def test_rejected_warm_basis_records_failure(tmp_path):
+    """A corrupt warm-start basis must be recorded as a failed warm solve
+    (log parses to the -1 sentinel; reference utils.py:621-626), never as a
+    genuine warm result that pollutes the impr columns."""
+    from lp_gnn_tpu.reporting.extract import extract_time
+    lp = generate_instance("netflow", seed=0, instance=0)
+    mps = str(tmp_path / "a.mps")
+    write_mps(lp, mps)
+    # wrong-size basis: statuses for 3 vars / 2 rows on a bigger LP
+    bad_bas = str(tmp_path / "bad.bas")
+    write_bas_highs(bad_bas, vbas=np.zeros(3, np.int64),
+                    cbas=np.ones(2, np.int64))
+    log = str(tmp_path / "a.log")
+    res = solve_mps(mps, method=1, basis_in_path=bad_bas, log_path=log)
+    assert res.basis_rejected
+    assert extract_time(log) == (-1, -1)
+    # an unreadable (garbage) basis file takes the same path
+    garbage = str(tmp_path / "garbage.bas")
+    with open(garbage, "w") as f:
+        f.write("this is not a basis file\n")
+    log2 = str(tmp_path / "b.log")
+    res2 = solve_mps(mps, method=1, basis_in_path=garbage, log_path=log2)
+    assert res2.basis_rejected
+    assert extract_time(log2) == (-1, -1)
+
+
 def test_primal_vs_dual_same_objective():
     lp = generate_instance("packing", seed=0, instance=0)
     d = solve_lp(lp, method=1)

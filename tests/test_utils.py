@@ -111,3 +111,42 @@ def test_parse_str_roundtrip():
     import pytest
     with pytest.raises(ValueError):
         parse_str("nothing", "dataset")
+
+
+def test_log_prt_tee(tmp_path):
+    """set_file_logger_prt tees raw stdout/stderr writes into log-prt /
+    log-prt-err in the run dir (reference Logger, utils.py:418-456)."""
+    import sys
+    from lp_gnn_tpu.utils.log import set_file_logger_prt, _Tee
+    out0, err0 = sys.stdout, sys.stderr
+    try:
+        set_file_logger_prt(str(tmp_path))
+        print("hello-prt")
+        print("boom-err", file=sys.stderr)
+        sys.stdout.flush(), sys.stderr.flush()
+        assert "hello-prt" in open(tmp_path / "log-prt").read()
+        assert "boom-err" in open(tmp_path / "log-prt-err").read()
+        # idempotent: a second call must not stack tees
+        set_file_logger_prt(str(tmp_path))
+        assert not isinstance(sys.stdout.console, _Tee)
+    finally:
+        if isinstance(sys.stdout, _Tee):
+            sys.stdout.close()
+        if isinstance(sys.stderr, _Tee):
+            sys.stderr.close()
+        sys.stdout, sys.stderr = out0, err0
+
+
+def test_df_dump_hdf5_when_pytables_present(tmp_path):
+    """df_dump writes real HDF5 when pytables is importable (reference
+    utils.py:227-240); df_load sniffs the magic so either format reads."""
+    import pandas as pd
+    from lp_gnn_tpu.utils.serialize import _have_pytables, _HDF5_MAGIC
+    df = pd.DataFrame({"fn": ["a"], "x": [1.5]})
+    p = str(tmp_path / "time.h5")
+    df_dump(df, p)
+    with open(p, "rb") as f:
+        magic = f.read(8)
+    assert (magic == _HDF5_MAGIC) == _have_pytables()
+    out = df_load(p)
+    assert list(out.fn) == ["a"] and float(out.x[0]) == 1.5
