@@ -94,6 +94,9 @@ class Config:
                                            # measured 0.6x/graph at bench tier —
                                            # so >1 mainly serves CPU runs)
     eval_every: int = 0                    # epochs between val passes (0=off)
+    trace: int = 0                         # capture an XLA profiler trace of
+                                           # the first post-warmup train steps
+                                           # into {log_dir}/trace
     # derived (filled by finalize)
     dataset_prefix: str = ""
     dataset_processed_prefix: str = ""
@@ -238,6 +241,7 @@ def parse_args(argv=None, make_log_dir: bool = True, **defaults) -> Config:
     if make_log_dir:
         # attach the per-run file log (reference Environment attaches
         # log-ing/log-prt, utils.py:452-497)
-        from .utils.log import set_file_logger
+        from .utils.log import set_file_logger, set_file_logger_prt
         set_file_logger(cfg.log_dir)
+        set_file_logger_prt(cfg.log_dir)
     return cfg

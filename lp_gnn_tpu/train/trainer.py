@@ -187,8 +187,30 @@ def save_ckpt(path: str, params, opt_state=None, epoch: int = 0, extra=None):
 
 
 def load_ckpt(path: str):
+    """Load a checkpoint: the framework's own full-train-state pickle, or a
+    reference PyTorch ``mdl.pth`` state_dict (detected by format, routed
+    through models/torch_import) — so a reference user can point
+    ``--load_from`` at their existing checkpoint and run predict -> warm
+    start on TPU with zero retraining (reference arch.py:112-114 load)."""
+    if _is_torch_checkpoint(path):
+        from ..models.torch_import import load_torch_checkpoint
+        return {"params": load_torch_checkpoint(path), "opt_state": None,
+                "epoch": 0, "extra": {"source": "torch"}}
     with open(path, "rb") as f:
         return pickle.load(f)
+
+
+def _is_torch_checkpoint(path: str) -> bool:
+    """Sniff torch serialization: modern torch.save is a PK zip archive;
+    legacy is a pickle whose payload reconstructs torch storages. The
+    framework's own ckpt is a plain pickle of a dict of numpy arrays, so a
+    zip magic or a torch-referencing pickle stream marks the torch format."""
+    with open(path, "rb") as f:
+        head = f.read(4)
+        if head[:2] == b"PK":
+            return True
+        f.seek(0)
+        return b"torch" in f.read(4096)
 
 
 # -------------------------------------------------------------------- run_exp
@@ -292,8 +314,20 @@ def run_exp(cfg: Config, dataset: LPDataset | None = None) -> str:
     ckpt_path = os.path.join(log_dir, "mdl.ckpt")
     rng_np = np.random.RandomState(cfg.seed)
     n_train = len(train_ds)
+    # --trace: profile the first post-warmup epoch (compiles happen in the
+    # first one) into {log_dir}/trace — a TB-viewable xplane of the hot path
+    trace_epoch = start_epoch + 1 if cfg.epochs - start_epoch > 1 else start_epoch
+    trace_cm = None
     for epoch in range(start_epoch, cfg.epochs):
         lr = step_lr(cfg.lr, cfg.epochs, epoch)
+        if epoch % 99 == 0:
+            # resource snapshot cadence of the reference (train.py:99-100)
+            from ..utils.profiling import show_resource
+            show_resource()
+        if getattr(cfg, "trace", 0) and epoch == trace_epoch:
+            from ..utils.profiling import trace as _prof_trace
+            trace_cm = _prof_trace(os.path.join(log_dir, "trace"))
+            trace_cm.__enter__()
         loss_meter.reset(), acc_meter.reset()
         order = rng_np.permutation(n_train)
 
@@ -391,6 +425,9 @@ def run_exp(cfg: Config, dataset: LPDataset | None = None) -> str:
                     params, opt_state, loss, acc = train_step(
                         params, opt_state, pg, sk, jnp.float32(lr))
                     log_step(idx_graphs, float(loss), float(acc))
+        if trace_cm is not None and epoch == trace_epoch:
+            trace_cm.__exit__(None, None, None)
+            trace_cm = None
         # store the NEXT epoch to run so resume does not repeat this one
         save_ckpt(ckpt_path, params, opt_state, epoch + 1,
                   extra={"arch": cfg.arch, "loss": cfg.loss})
