@@ -43,6 +43,11 @@ def main():
     import jax
     if force_cpu:
         jax.config.update("jax_platforms", "cpu")
+    # multi-host: LP_GNN_DIST_* env vars connect this process to the fleet
+    # before any device query (scripts/dryrun_multihost.py is the launcher
+    # template); jax.devices() then spans every host over DCN
+    from lp_gnn_tpu.parallel.mesh import maybe_init_distributed
+    multihost = maybe_init_distributed()
     n_real = len(jax.devices())
     if args.devices > n_real:
         print(f"# requested {args.devices} devices, capping to {n_real} "
@@ -91,13 +96,15 @@ def main():
     base = results[1]
     out = {
         "mode": "virtual-cpu" if virtual else "hardware",
+        "multihost": multihost,
         "collectives": "halo" if args.halo else "all-gather",
         "edges": args.edges,
         "step_time_s": {str(k): round(v, 4) for k, v in results.items()},
         "scaling_efficiency": {str(k): round(base / (v * k), 3)
                                for k, v in results.items()},
     }
-    print(json.dumps(out))
+    if jax.process_index() == 0:
+        print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -370,6 +370,18 @@ def partition_graph(pg: PaddedGraph, n_shards: int, halo: bool = False,
 
 
 # --------------------------------------------------------------- halo exchange
+def _halo_a2a(x, ax):
+    """The halo transport: XLA ``all_to_all`` (async start/done pairs the
+    latency-hiding scheduler overlaps with the interior SpMM), or the direct
+    inter-chip RDMA kernel (parallel/pallas_halo.py, LP_GNN_HALO=pallas) —
+    numerically identical, bit-compared in tests/test_parallel.py."""
+    from .pallas_halo import use_pallas_halo, pallas_all_to_all
+    if use_pallas_halo():
+        ndev = int(jax.lax.axis_size(ax))
+        return pallas_all_to_all(x, ax, ndev, x.shape[0] // ndev)
+    return jax.lax.all_to_all(x, ax, split_axis=0, concat_axis=0, tiled=True)
+
+
 @partial(jax.custom_vjp, nondiff_argnums=(4,))
 def halo_gather(x, halo_send, halo_perm, halo_ids, ax):
     """Collect the remote var rows this shard's edges reference.
@@ -390,8 +402,7 @@ def halo_gather(x, halo_send, halo_perm, halo_ids, ax):
       ax: mesh axis name (static).
     """
     send = x[halo_send.reshape(-1)]
-    return jax.lax.all_to_all(send, ax, split_axis=0, concat_axis=0,
-                              tiled=True)
+    return _halo_a2a(send, ax)
 
 
 def _halo_gather_fwd(x, halo_send, halo_perm, halo_ids, ax):
@@ -401,7 +412,7 @@ def _halo_gather_fwd(x, halo_send, halo_perm, halo_ids, ax):
 
 def _halo_gather_bwd(ax, res, g):
     halo_perm, halo_ids, ns = res
-    back = jax.lax.all_to_all(g, ax, split_axis=0, concat_axis=0, tiled=True)
+    back = _halo_a2a(g, ax)
     dx = jax.ops.segment_sum(back[halo_perm], halo_ids, num_segments=ns,
                              indices_are_sorted=True)
     return dx, None, None, None
@@ -422,8 +433,7 @@ def halo_reduce(part, halo_send, halo_perm, halo_ids, ns, ax):
     zeros (no edges target them), so their landing at local row 0 is a
     no-op. Backward = :func:`halo_gather`'s comm pattern (exact transpose).
     """
-    back = jax.lax.all_to_all(part, ax, split_axis=0, concat_axis=0,
-                              tiled=True)
+    back = _halo_a2a(part, ax)
     return jax.ops.segment_sum(back[halo_perm], halo_ids, num_segments=ns,
                                indices_are_sorted=True)
 
@@ -436,9 +446,7 @@ def _halo_reduce_fwd(part, halo_send, halo_perm, halo_ids, ns, ax):
 def _halo_reduce_bwd(ns, ax, res, g):
     (halo_send,) = res
     send = g[halo_send.reshape(-1)]
-    dpart = jax.lax.all_to_all(send, ax, split_axis=0, concat_axis=0,
-                               tiled=True)
-    return dpart, None, None, None
+    return _halo_a2a(send, ax), None, None, None
 
 
 halo_reduce.defvjp(_halo_reduce_fwd, _halo_reduce_bwd)
@@ -452,41 +460,52 @@ def _dist_aggs(shard, left_local, right_local, ms, n_pad, ax):
     With halo layouts present (partition_graph(halo=True)) both full-width
     collectives are replaced by the boundary exchange: halo_gather feeds the
     local-rows SpMM from the compact halo buffer, and the transpose SpMM
-    emits halo-slot partials that halo_reduce returns to their owners."""
+    emits halo-slot partials that halo_reduce returns to their owners.
+
+    Compute/comm overlap (SURVEY §2.3/§7 step 7): the dataflow is ordered so
+    each collective is independent of the interior (own-block, zero-comm)
+    SpMMs that follow its start — halo_gather depends only on right_local
+    and is issued first; the boundary partials feeding halo_reduce are
+    computed before the interior agg_v. XLA's async collective pairs
+    (all_to_all-start/done) then fly both exchanges over ICI while the MXU
+    runs the interior contraction; only the small boundary SpMM / final add
+    waits on the done."""
     from ..ops.spmm import blocked_spmm
     if shard.get("blkh_r_src") is not None:
         ns = right_local.shape[0]
         nh = shard["halo_perm"].shape[0]
+        # issue the forward exchange first: nothing below depends on it
+        # until the boundary SpMM
         h = halo_gather(right_local, shard["halo_send"], shard["halo_perm"],
                         shard["halo_ids"], ax)
-        # cons <- vars: own-block edges read right_local directly (zero
-        # comm); boundary edges read the compact halo buffer
+        # boundary partials next, so the return exchange can start while
+        # the interior SpMMs run
+        tr_hr = (shard["blkh_r_src"], shard["blkh_r_dst"],
+                 shard["blkh_r_val"], shard["blkh_r_out"])
+        part = blocked_spmm(shard["blkh_c_src"], shard["blkh_c_dst"],
+                            shard["blkh_c_val"], shard["blkh_c_out"],
+                            left_local, tr_hr, -(-nh // 128))[:nh]
+        red = halo_reduce(part, shard["halo_send"], shard["halo_perm"],
+                          shard["halo_ids"], ns, ax)
+        # interior (own-block, zero-comm) SpMMs — the overlap window
         tr_l = (shard["blkl_c_src"], shard["blkl_c_dst"],
                 shard["blkl_c_val"], shard["blkl_c_out"])
         agg_c = blocked_spmm(shard["blkl_r_src"], shard["blkl_r_dst"],
                              shard["blkl_r_val"], shard["blkl_r_out"],
                              right_local, tr_l, ms // 128)[:ms]
+        tr_lr = (shard["blkl_r_src"], shard["blkl_r_dst"],
+                 shard["blkl_r_val"], shard["blkl_r_out"])
+        agg_v = blocked_spmm(shard["blkl_c_src"], shard["blkl_c_dst"],
+                             shard["blkl_c_val"], shard["blkl_c_out"],
+                             left_local, tr_lr, ns // 128)[:ns]
+        # consumers of the exchanged buffers come last
         tr_h = (shard["blkh_c_src"], shard["blkh_c_dst"],
                 shard["blkh_c_val"], shard["blkh_c_out"])
         agg_c = agg_c + blocked_spmm(
             shard["blkh_r_src"], shard["blkh_r_dst"],
             shard["blkh_r_val"], shard["blkh_r_out"],
             h, tr_h, ms // 128)[:ms]
-        # vars <- cons: own-block partials land locally; boundary partials
-        # ride the return all_to_all
-        tr_lr = (shard["blkl_r_src"], shard["blkl_r_dst"],
-                 shard["blkl_r_val"], shard["blkl_r_out"])
-        agg_v = blocked_spmm(shard["blkl_c_src"], shard["blkl_c_dst"],
-                             shard["blkl_c_val"], shard["blkl_c_out"],
-                             left_local, tr_lr, ns // 128)[:ns]
-        tr_hr = (shard["blkh_r_src"], shard["blkh_r_dst"],
-                 shard["blkh_r_val"], shard["blkh_r_out"])
-        part = blocked_spmm(shard["blkh_c_src"], shard["blkh_c_dst"],
-                            shard["blkh_c_val"], shard["blkh_c_out"],
-                            left_local, tr_hr, -(-nh // 128))[:nh]
-        agg_v = agg_v + halo_reduce(part, shard["halo_send"],
-                                    shard["halo_perm"], shard["halo_ids"],
-                                    ns, ax)
+        agg_v = agg_v + red
         return agg_c, agg_v
     right_full = jax.lax.all_gather(right_local, ax, axis=0, tiled=True)
     use_blocked = shard.get("blkr_src") is not None

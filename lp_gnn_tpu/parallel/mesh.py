@@ -1,12 +1,44 @@
 """Device mesh construction (SURVEY.md §2.3: the TPU build's distribution
 axes are ``dp`` — data parallel over graphs — and ``edge`` — edge-partitioned
 execution of one large graph; the reference has no distribution at all,
-train.py:81-83)."""
+train.py:81-83).
+
+Multi-host: within a slice the mesh rides ICI; across hosts
+:func:`maybe_init_distributed` connects processes over DCN via
+``jax.distributed.initialize`` (SURVEY.md §5 comm-backend row), after which
+``jax.devices()`` is global and the same mesh/shard_map code runs unchanged.
+"""
 from __future__ import annotations
+
+import os
 
 import jax
 import numpy as np
 from jax.sharding import Mesh
+
+
+def maybe_init_distributed() -> bool:
+    """Connect this process to a multi-host run when the LP_GNN_DIST_* env
+    vars are set; no-op (returns False) otherwise.
+
+    Env contract (explicit coordinator mode — works on CPU fleets and GPU;
+    TPU pods can also rely on JAX's auto-detection and skip these):
+
+        LP_GNN_DIST_COORD    host:port of process 0
+        LP_GNN_DIST_NPROCS   total process count
+        LP_GNN_DIST_PROC_ID  this process's rank
+
+    Must run before the first JAX backend touch. After it returns True,
+    ``jax.devices()`` lists every device in the job (local + remote over
+    DCN) and meshes built from it produce cross-host collectives."""
+    coord = os.environ.get("LP_GNN_DIST_COORD", "")
+    if not coord:
+        return False
+    jax.distributed.initialize(
+        coordinator_address=coord,
+        num_processes=int(os.environ["LP_GNN_DIST_NPROCS"]),
+        process_id=int(os.environ["LP_GNN_DIST_PROC_ID"]))
+    return True
 
 
 def parse_mesh_shape(spec: str) -> dict[str, int]:

@@ -381,3 +381,65 @@ def test_partition_batch_equalizes_shapes(rng):
     # params actually moved
     d = jax.tree.map(lambda a, b: np.abs(np.asarray(a - b)).max(), params, p2)
     assert max(jax.tree.leaves(d)) > 0
+
+
+def test_multihost_dryrun_two_processes(tmp_path):
+    """Multi-host (DCN) scaffolding (SURVEY §5 comm-backend row): 2
+    cooperating processes x 4 virtual CPU devices run one dp x edge train
+    step through jax.distributed.initialize; process 0 must report a finite
+    loss over the 8-device global mesh."""
+    import json
+    import os
+    import socket
+    import subprocess
+    import sys
+
+    with socket.socket() as s:   # free port for the coordinator
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    procs = []
+    for i in range(2):
+        env = dict(os.environ,
+                   LP_GNN_DIST_COORD=f"localhost:{port}",
+                   LP_GNN_DIST_NPROCS="2", LP_GNN_DIST_PROC_ID=str(i),
+                   LP_GNN_PLATFORM="cpu")
+        env.pop("XLA_FLAGS", None)   # child sets its own device count
+        procs.append(subprocess.Popen(
+            [sys.executable, os.path.join(repo, "scripts/dryrun_multihost.py"),
+             "--local_devices", "4", "--mesh", "dp=2,edge=4"],
+            env=env, cwd=repo, stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT, text=True))
+    outs = [p.communicate(timeout=300)[0] for p in procs]
+    assert all(p.returncode == 0 for p in procs), outs
+    line = [l for l in outs[0].splitlines() if l.startswith("{")][-1]
+    rep = json.loads(line)
+    assert rep["ok"] and rep["distributed"]
+    assert rep["num_processes"] == 2 and rep["global_devices"] == 8
+    assert np.isfinite(rep["loss"])
+
+
+def test_pallas_halo_a2a_matches_xla(rng):
+    """LP_GNN_HALO=pallas routes the halo exchange through the inter-chip
+    RDMA kernel (parallel/pallas_halo.py, interpret-emulated on the CPU
+    mesh); forward logits and one train step must bit-match the XLA
+    all_to_all transport."""
+    import os
+    from lp_gnn_tpu.data.batching import pad_graph
+    from lp_gnn_tpu.models.gcn import build_model
+    from lp_gnn_tpu.parallel.mesh import make_mesh
+    from lp_gnn_tpu.parallel.edge_partition import (partition_graph,
+                                                    dist_apply)
+    pg = make_pg(rng, m=96, n=160, e=640)
+    model = build_model("GCN_FC(8,8,hids=16,depth=3)")
+    params = model.init(jax.random.PRNGKey(0))
+    mesh = make_mesh({"edge": 4}, devices=jax.devices()[:4])
+    dg = partition_graph(pg, 4, halo=True)
+    lc0, lv0 = dist_apply(params, dg, mesh)
+    os.environ["LP_GNN_HALO"] = "pallas"
+    try:
+        lc1, lv1 = dist_apply(params, dg, mesh)
+    finally:
+        del os.environ["LP_GNN_HALO"]
+    np.testing.assert_array_equal(np.asarray(lc0), np.asarray(lc1))
+    np.testing.assert_array_equal(np.asarray(lv0), np.asarray(lv1))
