@@ -274,8 +274,11 @@ def pad_graph(g: BipartiteGraph, m_pad: int | None = None, n_pad: int | None = N
 
 
 def _chunk_ptr(blk_out: np.ndarray, num_blocks: int) -> np.ndarray:
-    from ..ops.pallas_spmm import chunk_ptr_from_out
-    return chunk_ptr_from_out(blk_out, num_blocks)
+    """Chunk ranges per destination block from the sorted blk_out table."""
+    cnt = np.bincount(np.asarray(blk_out), minlength=num_blocks)
+    ptr = np.zeros(num_blocks + 1, np.int32)
+    np.cumsum(cnt, out=ptr[1:])
+    return ptr
 
 
 def strip_coo(pg: PaddedGraph) -> PaddedGraph:

@@ -1,7 +1,7 @@
 """Host-side (no-JAX) C++ SpMM/SDDMM mirroring the device op signatures.
 
 The reference's torch_sparse spmm is a C++/CUDA op (SURVEY.md §2.2); on TPU
-the hot path is ops/spmm.py (XLA) and ops/pallas_spmm.py. This module is the
+the hot path is ops/spmm.py (XLA blocked einsum). This module is the
 C++ CPU fallback with the *same semantics* as ``segment_spmm`` — usable for
 host-side pipelines and as an independent parity oracle for the device
 kernels (it shares no code with them).

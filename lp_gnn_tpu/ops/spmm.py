@@ -13,8 +13,15 @@ torch_geometric; see SURVEY.md §2.2). Design:
 - ``custom_vjp`` wires the pair together so autodiff never emits an
   unsorted scatter.
 
-A Pallas TPU kernel with the same signature lives in pallas_spmm.py; this
-module is the jnp reference implementation and the parity oracle for it.
+A fused Pallas kernel for the contraction was built, benchmarked, and
+removed: the hot path is bound by the XLA row gather (~6.3 ns/row,
+measured in scripts/probe_spmm.py / probe_vmem_gather*.py), which XLA
+fuses with the val-multiply and one-hot contraction so messages never
+touch HBM. A Pallas consumer forces that (E, D) message tensor through
+HBM (Mosaic cannot lower an in-kernel dynamic table gather), costing a
+measured ~8% end to end (bench.py: 128.2M vs 139.3M trav/s on the real
+chip). The blocked-einsum path below sits within ~20% of the gather
+floor; see RESULTS.md "SpMM roofline" for the full probe evidence.
 """
 from __future__ import annotations
 
@@ -64,11 +71,6 @@ segment_spmm.defvjp(_segment_spmm_fwd, _segment_spmm_bwd)
 
 
 import os as _os
-
-
-def _use_pallas() -> bool:
-    """Opt-in Pallas fused-contraction path (LP_GNN_SPMM=pallas)."""
-    return _os.environ.get("LP_GNN_SPMM", "") == "pallas"
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(6,))
@@ -162,33 +164,6 @@ def _blocked_spmm_scan(blk_src, blk_dst, blk_val, blk_out, x, num_blocks,
     return out[:num_blocks].reshape(-1, D).astype(x.dtype)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(6,))
-def blocked_spmm_p(blk_src, blk_dst, blk_val, blk_out, x, transpose_blocks,
-                   num_blocks):
-    """Pallas variant of blocked_spmm: fused one-hot contraction + chunk
-    accumulation in VMEM (ops/pallas_spmm.py). Same math and layout."""
-    from .pallas_spmm import pallas_blocked_spmm
-    return pallas_blocked_spmm(blk_src, blk_dst, blk_val, blk_out, x,
-                               num_blocks)
-
-
-def _blocked_spmm_p_fwd(blk_src, blk_dst, blk_val, blk_out, x, tr,
-                        num_blocks):
-    out = blocked_spmm_p(blk_src, blk_dst, blk_val, blk_out, x, tr,
-                         num_blocks)
-    return out, (tr, x.shape[0])
-
-
-def _blocked_spmm_p_bwd(num_blocks, res, g):
-    (t_src, t_dst, t_val, t_out), num_src = res
-    dx = blocked_spmm_p(t_src, t_dst, t_val, t_out, g, None,
-                        -(-num_src // 128))[:num_src]
-    return None, None, None, None, dx, None
-
-
-blocked_spmm_p.defvjp(_blocked_spmm_p_fwd, _blocked_spmm_p_bwd)
-
-
 def _blocked_spmm_fwd(blk_src, blk_dst, blk_val, blk_out, x, tr, num_blocks):
     out = blocked_spmm(blk_src, blk_dst, blk_val, blk_out, x, tr, num_blocks)
     return out, (tr, x.shape[0])
@@ -205,7 +180,7 @@ blocked_spmm.defvjp(_blocked_spmm_fwd, _blocked_spmm_bwd)
 
 
 def _blocked_call(pg, x, side):
-    """Dispatch one SpMM direction through the einsum or Pallas blocked path.
+    """Dispatch one SpMM direction through the blocked-einsum path.
 
     side='c2v': dst = vars (blkc layout); side='v2c': dst = cons (blkr)."""
     if side == "c2v":
@@ -221,19 +196,15 @@ def _blocked_call(pg, x, side):
     # are not 128-multiples — a floor here would silently drop the last
     # partial destination block
     nblk = -(-n_out // 128)
-    if _use_pallas():
-        out = blocked_spmm_p(own[0], own[1], own[2], own[3], x, tr, nblk)
-    else:
-        out = blocked_spmm(own[0], own[1], own[2], own[3], x, tr, nblk)
+    out = blocked_spmm(own[0], own[1], own[2], own[3], x, tr, nblk)
     return out[:n_out]
 
 
 def spmm_cons_to_vars(pg, x_cons):
     """out[j] = sum_i A_ij * x_cons[i]  — (N_pad, D).
 
-    Uses the blocked MXU path when the graph carries a block layout
-    (Pallas fused variant when LP_GNN_SPMM=pallas), else the sorted
-    segment-sum path."""
+    Uses the blocked MXU path when the graph carries a block layout,
+    else the sorted segment-sum path."""
     if getattr(pg, "blkc_src", None) is not None and \
             getattr(pg, "blkr_src", None) is not None:
         return _blocked_call(pg, x_cons, "c2v")

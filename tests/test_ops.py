@@ -116,31 +116,6 @@ def test_blocked_layout_skew_fallback(rng):
     np.testing.assert_allclose(out, Af @ x, atol=1e-4)
 
 
-def test_pallas_spmm_matches_einsum(rng):
-    """Pallas fused path (interpret on CPU) == einsum blocked path, fwd+bwd."""
-    import os
-    pg, Af = make_graph(rng, m=200, n=260, e=900)
-    x = rng.randn(pg.n_pad, 32).astype(np.float32)
-    want = np.asarray(spmm_vars_to_cons(pg, x))
-    os.environ["LP_GNN_SPMM"] = "pallas"
-    try:
-        got = np.asarray(spmm_vars_to_cons(pg, x))
-        np.testing.assert_allclose(got, want, atol=1e-5)
-
-        def f(xx):
-            return (spmm_vars_to_cons(pg, xx) ** 2).sum()
-
-        g_p = np.asarray(jax.grad(f)(x))
-    finally:
-        del os.environ["LP_GNN_SPMM"]
-
-    def f2(xx):
-        return (spmm_vars_to_cons(pg, xx) ** 2).sum()
-
-    g_e = np.asarray(jax.grad(f2)(x))
-    np.testing.assert_allclose(g_p, g_e, atol=1e-4)
-
-
 def test_blocked_spmm_scan_matches(rng):
     """HBM-streaming scan path == in-memory einsum path (forced via a tiny
     memory budget)."""
