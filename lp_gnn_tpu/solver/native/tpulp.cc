@@ -11,9 +11,15 @@
 // Internally augmented with logicals s = Ax:  W = [A  -I], z = [x; s],
 // bounds [lb;b_l] <= z <= [ub;b_u]; a basis is m columns of W.
 //
-// Linear algebra: dense LU with partial pivoting + product-form eta updates,
-// refactorized every REFRESH pivots (suited to the moderate row counts of
-// LP-GNN training instances; a sparse Markowitz LU is the planned upgrade).
+// Linear algebra: Gilbert-Peierls sparse LU (symbolic-reach elimination,
+// threshold pivoting with a static Markowitz bias) kept current between
+// refactorizations by FORREST-TOMLIN updates: each basis change replaces one
+// column of U with the L-solved spike, cyclically moves that position to the
+// end of the elimination order, and restores triangularity with sparse row
+// eliminations recorded as row etas in H (B = H U). Row etas are far sparser
+// than product-form column etas (they follow U's short rows, not B^{-1}a's
+// support), so both the update cost and the per-solve apply cost stay near
+// the factor's own fill, and refactorization can run 4x less often.
 //
 // Algorithms:
 //  - primal: composite phase-1 (minimize infeasibility) + bounded phase-2
@@ -40,7 +46,10 @@ constexpr double FEAS_TOL = 1e-7;
 constexpr double DUAL_TOL = 1e-7;
 constexpr double PIVOT_TOL = 1e-8;
 constexpr double ZERO_TOL = 1e-12;
-constexpr int REFRESH = 100;
+// Forrest-Tomlin refresh policy: refactorize after this many updates, or
+// earlier when the accumulated row-eta fill outgrows the factor (see
+// need_refresh) or an update produces a too-small diagonal.
+constexpr int REFRESH = 400;
 
 enum Status { LL = 0, BASIC = 1, UL = 2, FZ = 3 };
 enum Result { OPTIMAL = 0, INFEASIBLE = 1, UNBOUNDED = 2, ITERLIMIT = 3,
@@ -54,10 +63,12 @@ struct Clock {
   }
 };
 
-struct Eta {
-  int r;
-  double wr;
-  std::vector<std::pair<int, double>> w;  // entries i != r
+// Forrest-Tomlin row eta: one elementary row operation of H (B = H U).
+// ftran applies z[r] -= f * z[k] in creation order (after the L pass);
+// btran applies v[k] -= f * v[r] in reverse order (before the L^T pass).
+struct FtOp {
+  int r, k;
+  double f;
 };
 
 struct Solver {
@@ -79,13 +90,26 @@ struct Solver {
   // ids), U upper-triangular in pivot-position space. Pivot position k
   // corresponds to basis column k.
   std::vector<std::vector<std::pair<int, double>>> Lcols;  // (orig row, val)
-  std::vector<std::vector<std::pair<int, double>>> Ucols;  // (pos p<k, val)
+  std::vector<std::vector<std::pair<int, double>>> Ucols;  // (pos p, val)
   std::vector<double> Udiag;
   std::vector<int> pivrow;            // position -> original row
   std::vector<int> rowpos;            // original row -> position (-1 unset)
-  std::vector<Eta> etas;
-  // scratch (avoids per-call allocation in the ftran/btran hot path)
+  // Forrest-Tomlin state. U stays triangular w.r.t. an elimination ORDER
+  // maintained as a doubly-linked list over positions (onxt/oprv/ohead/
+  // otail) so an update's move-to-end is O(1); ordpos holds monotone
+  // integer keys (gaps allowed) for order comparisons in the update's
+  // elimination heap. Ucols[k] entries always sit earlier in the order than
+  // k. Urows mirrors U row-wise (off-diagonal only) for the update's row
+  // elimination; it is only read by ft_update, never by solves.
+  std::vector<std::vector<std::pair<int, double>>> Urows;  // (pos k later, val)
+  std::vector<int> ordpos, onxt, oprv;
+  int ohead = -1, otail = -1, ord_max = 0;
+  std::vector<FtOp> ft_ops;
+  int n_updates = 0;
+  // scratch (avoids per-call allocation in the ftran/btran/update hot path)
   mutable std::vector<double> ft_z, bt_t, bt_out;
+  std::vector<double> upd_rv;         // row-elimination scatter values
+  std::vector<char> upd_mark;
   // stats
   long long niter = 0;
   int nrepair = 0;
@@ -248,7 +272,23 @@ struct Solver {
         break;
       }
     }
-    etas.clear();
+    // reset the Forrest-Tomlin state: identity order, row-wise U mirror
+    ft_ops.clear();
+    n_updates = 0;
+    ordpos.resize(M);
+    onxt.resize(M);
+    oprv.resize(M);
+    for (int k = 0; k < M; ++k) {
+      ordpos[k] = k;
+      onxt[k] = k + 1 < M ? k + 1 : -1;
+      oprv[k] = k - 1;
+    }
+    ohead = M > 0 ? 0 : -1;
+    otail = M - 1;
+    ord_max = M - 1;
+    Urows.assign(M, {});
+    for (int k = 0; k < M; ++k)
+      for (auto& e : Ucols[k]) Urows[e.first].push_back({k, e.second});
     fact_time += ck.secs();
     return 0;
   }
@@ -267,8 +307,10 @@ struct Solver {
   }
 
   // solve B v = rhs in place (rhs in original row ids; result indexed by
-  // basis position)
-  void ftran(std::vector<double>& v) const {
+  // basis position). B = H U with H = Lfull composed with the FT row etas.
+  // Optionally stashes the spike H^{-1} rhs (the intermediate before the U
+  // solve) — exactly what a Forrest-Tomlin update of this column needs.
+  void ftran(std::vector<double>& v, std::vector<double>* spike = nullptr) const {
     const int M = m;
     // z = Lfull^{-1} rhs  (forward over pivot positions)
     ft_z.resize(M);
@@ -279,40 +321,35 @@ struct Solver {
       if (zp != 0.0)
         for (auto& e : Lcols[p]) v[e.first] -= zp * e.second;
     }
-    // U y = z  (backward; U column-stored)
-    for (int k = M - 1; k >= 0; --k) {
+    // FT row etas in creation order
+    for (const auto& op : ft_ops) z[op.r] -= op.f * z[op.k];
+    if (spike) *spike = z;
+    // U y = z  (backward over the elimination order; column entries of U
+    // always sit earlier in the order, so this is a valid topological sweep)
+    for (int k = otail; k >= 0; k = oprv[k]) {
       double yk = z[k] / Udiag[k];
       z[k] = yk;
       if (yk != 0.0)
         for (auto& e : Ucols[k]) z[e.first] -= e.second * yk;
     }
     v = z;
-    for (const auto& e : etas) {
-      double vr = v[e.r] / e.wr;
-      if (vr != 0.0) {
-        for (auto& p : e.w) v[p.first] -= p.second * vr;
-      }
-      v[e.r] = vr;
-    }
   }
 
   // solve B^T v = rhs in place (rhs indexed by basis position; result in
   // original row ids)
   void btran(std::vector<double>& v) const {
     const int M = m;
-    for (auto it = etas.rbegin(); it != etas.rend(); ++it) {
-      double s = v[it->r];
-      for (auto& p : it->w) s -= p.second * v[p.first];
-      v[it->r] = s / it->wr;
-    }
-    // U^T t = v  (forward; uses U columns directly)
+    // U^T t = v  (forward over the elimination order; uses U columns)
     bt_t.resize(M);
     std::vector<double>& t = bt_t;
-    for (int k = 0; k < M; ++k) {
+    for (int k = ohead; k >= 0; k = onxt[k]) {
       double s = v[k];
       for (auto& e : Ucols[k]) s -= e.second * t[e.first];
       t[k] = s / Udiag[k];
     }
+    // FT row etas transposed, reverse order
+    for (auto it = ft_ops.rbegin(); it != ft_ops.rend(); ++it)
+      t[it->k] -= it->f * t[it->r];
     // Lfull^T out = t  (backward; uses L columns directly)
     bt_out.assign(M, 0.0);
     std::vector<double>& out = bt_out;
@@ -322,6 +359,97 @@ struct Solver {
       out[pivrow[p]] = s;
     }
     v = out;
+  }
+
+  // Forrest-Tomlin update: basis column at position r was replaced; `spike`
+  // is H^{-1} a_enter (stashed by the entering column's ftran). Returns
+  // false when the resulting diagonal is numerically unusable — the caller
+  // must refactorize instead (basis arrays are already updated, so a fresh
+  // factorize() yields the same basis).
+  bool ft_update(int r, const std::vector<double>& spike) {
+    const int M = m;
+    // (1) detach old column r from the row mirror
+    for (auto& e : Ucols[r]) {
+      auto& row = Urows[e.first];
+      for (size_t i = 0; i < row.size(); ++i)
+        if (row[i].first == r) { row[i] = row.back(); row.pop_back(); break; }
+    }
+    // (2) install the spike as column r (diagonal handled separately)
+    Ucols[r].clear();
+    for (int p = 0; p < M; ++p) {
+      if (p == r) continue;
+      double sp = spike[p];
+      if (std::fabs(sp) > ZERO_TOL) {
+        Ucols[r].push_back({p, sp});
+        Urows[p].push_back({r, sp});
+      }
+    }
+    double d = spike[r];
+    // (3) move r to the end of the elimination order: O(1) unlink/append,
+    // fresh monotone key for order comparisons
+    if (otail != r) {
+      int pr = oprv[r], nx = onxt[r];
+      if (pr >= 0) onxt[pr] = nx; else ohead = nx;
+      if (nx >= 0) oprv[nx] = pr;
+      oprv[r] = otail;
+      onxt[r] = -1;
+      onxt[otail] = r;
+      otail = r;
+      ordpos[r] = ++ord_max;
+    }
+    // (4) eliminate row r (its entries are now all below the diagonal)
+    // over a min-heap in elimination order; fill follows U's short rows.
+    // upd_rv stays all-zero between calls (every touched entry is zeroed
+    // when popped), so no O(M) clear is needed here.
+    if ((int)upd_rv.size() != M) upd_rv.assign(M, 0.0);
+    if ((int)upd_mark.size() != M) upd_mark.assign(M, 0);
+    // heap of (ordpos, position) over row r's support
+    std::vector<std::pair<int, int>> heap;
+    heap.reserve(Urows[r].size() + 8);
+    auto hpush = [&](int k) {
+      heap.push_back({ordpos[k], k});
+      std::push_heap(heap.begin(), heap.end(), std::greater<>());
+    };
+    for (auto& e : Urows[r]) {
+      upd_rv[e.first] = e.second;
+      upd_mark[e.first] = 1;
+      hpush(e.first);
+      // the entry U[r][k] is about to be eliminated: remove it from the
+      // column store now (fill entries never enter the stores at all)
+      auto& colk = Ucols[e.first];
+      for (size_t i = 0; i < colk.size(); ++i)
+        if (colk[i].first == r) { colk[i] = colk.back(); colk.pop_back(); break; }
+    }
+    Urows[r].clear();
+    while (!heap.empty()) {
+      std::pop_heap(heap.begin(), heap.end(), std::greater<>());
+      int k = heap.back().second;
+      heap.pop_back();
+      if (!upd_mark[k]) continue;   // duplicate heap entry
+      upd_mark[k] = 0;
+      double vk = upd_rv[k];
+      upd_rv[k] = 0.0;
+      if (std::fabs(vk) <= ZERO_TOL) continue;
+      double f = vk / Udiag[k];
+      ft_ops.push_back({r, k, f});
+      for (auto& e : Urows[k]) {
+        int c = e.first;
+        if (c == r) {
+          d -= f * e.second;        // spike entry s_k folded into the diag
+        } else {
+          if (!upd_mark[c]) {
+            upd_mark[c] = 1;
+            upd_rv[c] = 0.0;
+            hpush(c);
+          }
+          upd_rv[c] -= f * e.second;
+        }
+      }
+    }
+    ++n_updates;
+    if (std::fabs(d) < PIVOT_TOL) return false;
+    Udiag[r] = d;
+    return true;
   }
 
   // recompute basic values: B x_B = -N x_N  (W z = 0)
@@ -340,16 +468,11 @@ struct Solver {
     for (int k = 0; k < m; ++k) x[basic[k]] = rhs[k];
   }
 
-  void push_eta(int r, const std::vector<double>& w) {
-    Eta e;
-    e.r = r;
-    e.wr = w[r];
-    for (int i = 0; i < m; ++i)
-      if (i != r && std::fabs(w[i]) > ZERO_TOL) e.w.push_back({i, w[i]});
-    etas.push_back(std::move(e));
+  bool need_refresh() const {
+    // refactorize when updates accumulate or the row-eta fill outgrows the
+    // factor (apply cost of ft_ops then rivals a fresh solve)
+    return n_updates >= REFRESH || (long long)ft_ops.size() > 8LL * m;
   }
-
-  bool need_refresh() const { return (int)etas.size() >= REFRESH; }
 
   // d_j = cost_j - y.W_j for one column
   double reduced_cost(int j, const std::vector<double>& y,
@@ -366,7 +489,7 @@ struct Solver {
   // ---------------------------------------------------------------- primal
   // Returns Result. phase1: minimize total bound violation of basics.
   int primal(bool phase1_allowed) {
-    std::vector<double> y(m), w(m), costv;
+    std::vector<double> y(m), w(m), costv, spike(m);
     std::vector<std::pair<int, double>> colbuf;
     int stall = 0;
     bool bland = false;
@@ -423,7 +546,7 @@ struct Solver {
       col_of(q, colbuf);
       std::fill(w.begin(), w.end(), 0.0);
       for (auto& e : colbuf) w[e.first] = e.second;
-      ftran(w);
+      ftran(w, &spike);   // spike = H^-1 a_q feeds the FT update on pivot
       // ratio test
       double limit = INF;
       if (std::isfinite(hi[q]) && std::isfinite(lo[q]))
@@ -501,14 +624,13 @@ struct Solver {
       basic[rleave] = q;
       pos_in_basis[q] = rleave;
       vstat[q] = BASIC;
-      push_eta(rleave, w);
       if (t <= 1e-12) {
         if (++stall > 400) bland = true;
       } else {
         stall = 0;
         bland = false;
       }
-      if (need_refresh()) {
+      if (!ft_update(rleave, spike) || need_refresh()) {
         if (factorize(false) != 0) return NUMFAIL;
         compute_xb();
       }
@@ -575,7 +697,7 @@ struct Solver {
     compute_xb();
     recompute_d();
 
-    std::vector<double> rho(m), w(m);
+    std::vector<double> rho(m), w(m), spike(m);
     std::vector<std::pair<int, double>> colbuf;
     // hypersparse pricing scratch: marks over touched columns (alpha lives
     // interleaved with d in `ad`)
@@ -707,7 +829,7 @@ struct Solver {
       col_of(q, colbuf);
       std::fill(w.begin(), w.end(), 0.0);
       for (auto& e2 : colbuf) w[e2.first] = e2.second;
-      ftran(w);
+      ftran(w, &spike);   // spike = H^-1 a_q feeds the FT update on pivot
       if (std::fabs(w[rlv]) < PIVOT_TOL) {
         if (factorize(false) != 0) { res = NUMFAIL; break; }
         compute_xb();
@@ -747,28 +869,21 @@ struct Solver {
       }
       double target = (sgn > 0) ? lo[jl] : hi[jl];
       double t = (x[jl] - target) / w[rlv];  // step along -w adds to x_q?
-      // one pass over w's nonzeros does the primal update, the devex weight
-      // update, and the eta build (previously three full-length passes)
+      // one pass over w's nonzeros does the primal update and the devex
+      // weight update (the factor update itself is ft_update below)
       {
         double wr2 = w[rlv] * w[rlv];
         double gr = gamma[rlv];
-        Eta e;
-        e.r = rlv;
-        e.wr = w[rlv];
         for (int k = 0; k < m; ++k) {
           double wk = w[k];
           if (wk == 0.0) continue;
           // x_B' = x_B - t*w ; x_q' = x_q + t  solves  B x_B + a_q x_q const
           x[basic[k]] -= t * wk;
           if (k == rlv) continue;
-          if (std::fabs(wk) > ZERO_TOL) {
-            double cand = (wk * wk / wr2) * gr;
-            if (cand > gamma[k]) gamma[k] = cand;
-            e.w.push_back({k, wk});
-          }
+          double cand = (wk * wk / wr2) * gr;
+          if (cand > gamma[k]) gamma[k] = cand;
         }
         gamma[rlv] = std::max(gr / wr2, 1.0);
-        etas.push_back(std::move(e));
       }
       x[q] += t;
       vstat[jl] = (sgn > 0) ? LL : UL;
@@ -782,7 +897,7 @@ struct Solver {
       if (std::fabs(t) <= 1e-12) {
         if (++stall > 400 && !bland) { bland = true; recompute_d(); }
       } else { stall = 0; bland = false; }
-      if (need_refresh()) {
+      if (!ft_update(rlv, spike) || need_refresh()) {
         if (factorize(false) != 0) { res = NUMFAIL; break; }
         compute_xb();
         recompute_d();
