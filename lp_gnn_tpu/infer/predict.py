@@ -32,6 +32,23 @@ from .decode import inference_gnn
 _JIT_CACHE: dict[int, object] = {}
 
 
+def mesh_from_cfg(cfg):
+    """Build the edge mesh `--mesh_shape edge=K` asks for, or None.
+
+    Lets the validation / prediction / timing drivers run oversize graphs
+    edge-partitioned (model_inference's ``mesh`` path) straight from the
+    CLI instead of only via the library API."""
+    import jax
+    spec = getattr(cfg, "mesh_shape", "")
+    if not spec or "edge=" not in spec:
+        return None
+    from ..parallel.mesh import make_mesh, parse_mesh_shape
+    edge = parse_mesh_shape(spec).get("edge", 1)
+    if edge <= 1 or edge > len(jax.devices()):
+        return None
+    return make_mesh({"edge": edge})
+
+
 def _jit_apply(model: Model):
     fn = _JIT_CACHE.get(id(model))
     if fn is None:
@@ -54,11 +71,10 @@ def model_inference(model: Model, params, g: BipartiteGraph,
     softmax aggregation uses its own collective decomposition).
     Returns (logit_cons (m,3), logit_vars (n,3)) numpy, unpadded.
     """
+    from ..parallel.edge_partition import DIST_MODELS
     if mesh is not None and g.nnz > edge_num_thresh and \
-            "edge" in mesh.axis_names:
-        from ..parallel.edge_partition import (
-            partition_graph, dist_apply, DIST_MODELS)
-        assert model.name in DIST_MODELS, model.name
+            "edge" in mesh.axis_names and model.name in DIST_MODELS:
+        from ..parallel.edge_partition import partition_graph, dist_apply
         # shard count = size of the 'edge' axis only (a 2-D dp x edge mesh
         # must not inflate the partition)
         n_shards = dict(zip(mesh.axis_names, mesh.devices.shape))["edge"]
@@ -99,6 +115,7 @@ def validation(model: Model, params, ds: LPDataset, cfg: Config,
     (reference val.py:43-68) or vs the converged warm-start basis
     (val.py:70-104 when ``wrt_converged``)."""
     df = df_load(dump_info) if dump_info and osp.exists(dump_info) else None
+    mesh = mesh_from_cfg(cfg)
     avg_acc, n_eval = 0.0, 0
     prefix = "cvg/" if wrt_converged else ""
     if wrt_converged:
@@ -112,7 +129,7 @@ def validation(model: Model, params, ds: LPDataset, cfg: Config,
         g = ds[i]
         fn = g.fn
         lc, lv = model_inference(model, params, g, cfg.edge_num_thresh,
-                                 cfg.batch_size, cfg.arch_depth())
+                                 cfg.batch_size, cfg.arch_depth(), mesh=mesh)
         if wrt_converged:
             tgt = f"{cfg.log_dir}/opt-from-{basis_folder}/{fn}.bas"
             if not osp.exists(tgt):
@@ -148,10 +165,11 @@ def predict_and_write_bases(model: Model, params, ds: LPDataset, cfg: Config,
     ``decode_kwargs`` carries the InferenceManager's configured mode/gnn_wei
     through to the decode function."""
     os.makedirs(out_dir, exist_ok=True)
+    mesh = mesh_from_cfg(cfg)
     for i in range(len(ds)):
         g = ds[i]
         lc, lv = model_inference(model, params, g, cfg.edge_num_thresh,
-                                 cfg.batch_size, cfg.arch_depth())
+                                 cfg.batch_size, cfg.arch_depth(), mesh=mesh)
         logits = np.concatenate([lc, lv]).astype(np.float32)
         m = g.ncons
         pred = decode_fn(logits, m, nnzs=_nnzs_for_decode(g, decode_fn),
@@ -194,6 +212,7 @@ def timed_inference(model: Model, params, ds: LPDataset, cfg: Config,
     (reference pred_basis.py:158-176)."""
     import time
     df = df_load(dump_info) if dump_info and osp.exists(dump_info) else None
+    mesh = mesh_from_cfg(cfg)
     times = {}
     for i in range(len(ds)):
         g = ds[i]
@@ -202,7 +221,8 @@ def timed_inference(model: Model, params, ds: LPDataset, cfg: Config,
         # uses, not force-padded to a full-graph forward
         def infer():
             return model_inference(model, params, g, cfg.edge_num_thresh,
-                                   cfg.batch_size, cfg.arch_depth())
+                                   cfg.batch_size, cfg.arch_depth(),
+                                   mesh=mesh)
         infer()   # warm compile for this bucket
         t0 = time.time()
         lc, lv = infer()

@@ -245,6 +245,39 @@ def run_exp(cfg: Config, dataset: LPDataset | None = None) -> str:
         logging.info("resumed from %s at epoch %d", cfg.load_from, start_epoch)
     train_step = make_train_step(model, cfg.loss, optimizer)
 
+    # --mesh_shape "edge=K": oversize graphs (> edge_num_thresh) train
+    # edge-partitioned FULL-graph across K devices — the TPU replacement
+    # for the reference's NeighborLoader sampling switch (train.py:102-116,
+    # SURVEY §2.3) — with boundary halo exchange for the GraphConv archs.
+    # Small graphs keep the single-device (or dp-stacked) path. Falls back
+    # to fanout sampling when the arch has no distributed forward or the
+    # mesh exceeds the device count.
+    dist_step, edge_mesh, dist_halo = None, None, False
+    mesh_spec = getattr(cfg, "mesh_shape", "")
+    edge_size = 1
+    if mesh_spec and "edge=" in mesh_spec:
+        from ..parallel.mesh import parse_mesh_shape
+        edge_size = parse_mesh_shape(mesh_spec).get("edge", 1)
+    if edge_size > 1:
+        from ..parallel.mesh import make_mesh
+        from ..parallel.edge_partition import (make_dist_train_step,
+                                               DIST_MODELS)
+        if edge_size > len(jax.devices()):
+            logging.warning("mesh_shape edge=%d exceeds %d devices — "
+                            "oversize graphs fall back to sampling",
+                            edge_size, len(jax.devices()))
+        elif model.name not in DIST_MODELS:
+            logging.warning("arch %s has no distributed forward — oversize "
+                            "graphs fall back to sampling", model.name)
+        else:
+            edge_mesh = make_mesh({"edge": edge_size})
+            dist_halo = model.name in ("GCN_FC", "GCN", "GCNDeeper")
+            dist_step = jax.jit(make_dist_train_step(
+                cfg.loss, optimizer, edge_mesh, arch=model.name))
+            logging.info("edge-partitioned training: %d shards, %s "
+                         "collectives", edge_size,
+                         "halo" if dist_halo else "all-gather")
+
     # host-side padded-graph cache: pad once, reuse across epochs
     padded_cache: dict[int, PaddedGraph] = {}
 
@@ -262,6 +295,13 @@ def run_exp(cfg: Config, dataset: LPDataset | None = None) -> str:
                     from ..ops.spmm import attach_input_agg
                     pg_new = attach_input_agg(pg_new, jnp.dtype(model.dtype))
                 padded_cache[idx] = pg_new
+            elif dist_step is not None:
+                from ..parallel.edge_partition import (partition_graph,
+                                                       attach_dist_input_agg)
+                dg = partition_graph(pad_graph(g), edge_size, halo=dist_halo)
+                if getattr(cfg, "cache_in_agg", 1):
+                    dg = attach_dist_input_agg(dg, edge_mesh)
+                padded_cache[idx] = ("dist", dg)
             else:
                 padded_cache[idx] = None   # sampled path, not cached
         pg = padded_cache[idx]
@@ -377,22 +417,29 @@ def run_exp(cfg: Config, dataset: LPDataset | None = None) -> str:
                 padded_cache[cache_key] = (batches, singles, sampled_idxs)
             return padded_cache[cache_key]
 
-        def run_singles_and_sampled(singles, sampled_idxs):
+        def run_one(idx_graphs, pg):
             nonlocal params, opt_state, glstep, key
+            key, sk = jax.random.split(key)
+            glstep += 1
+            if isinstance(pg, tuple) and pg[0] == "dist":
+                # edge-partitioned full-graph step (no per-step accuracy —
+                # logits stay sharded; eval passes score exactly)
+                params, opt_state, loss = dist_step(params, opt_state,
+                                                    pg[1], sk,
+                                                    jnp.float32(lr))
+                log_step(idx_graphs, float(loss), None)
+                return
+            params, opt_state, loss, acc = train_step(
+                params, opt_state, pg, sk, jnp.float32(lr))
+            log_step(idx_graphs, float(loss), float(acc))
+
+        def run_singles_and_sampled(singles, sampled_idxs):
             for pg in singles:
-                key, sk = jax.random.split(key)
-                glstep += 1
-                params, opt_state, loss, acc = train_step(
-                    params, opt_state, pg, sk, jnp.float32(lr))
-                log_step(0, float(loss), float(acc))
+                run_one(0, pg)
             for gi in sampled_idxs:
-                # fresh subgraph sample every epoch
+                # fresh subgraph sample every epoch (dist graphs are cached)
                 for pg in batches_for(int(gi), rng_np):
-                    key, sk = jax.random.split(key)
-                    glstep += 1
-                    params, opt_state, loss, acc = train_step(
-                        params, opt_state, pg, sk, jnp.float32(lr))
-                    log_step(0, float(loss), float(acc))
+                    run_one(0, pg)
 
         if dp_step is not None:
             batches, singles, sampled_idxs = stacked_groups(
@@ -420,11 +467,7 @@ def run_exp(cfg: Config, dataset: LPDataset | None = None) -> str:
         else:
             for idx_graphs, gi in enumerate(order):
                 for pg in batches_for(int(gi), rng_np):
-                    key, sk = jax.random.split(key)
-                    glstep += 1
-                    params, opt_state, loss, acc = train_step(
-                        params, opt_state, pg, sk, jnp.float32(lr))
-                    log_step(idx_graphs, float(loss), float(acc))
+                    run_one(idx_graphs, pg)
         if trace_cm is not None and epoch == trace_epoch:
             trace_cm.__exit__(None, None, None)
             trace_cm = None

@@ -282,3 +282,36 @@ def test_train_dp_with_sampled_graphs(tiny_cfg):
     cfg.finalize()
     ckpt = run_exp(cfg)
     assert osp.exists(ckpt)
+
+
+def test_train_edge_partitioned(tiny_cfg):
+    """--mesh_shape edge=4 with a tiny edge_num_thresh routes every train
+    graph through the edge-partitioned full-graph step (the CLI-reachable
+    replacement for the reference's NeighborLoader switch, train.py:102-116)
+    and still produces a usable checkpoint."""
+    import dataclasses
+    from lp_gnn_tpu.train.trainer import run_exp
+    cfg = dataclasses.replace(tiny_cfg, exp_nm="t-edge", epochs=2,
+                              mesh_shape="edge=4", edge_num_thresh=1.0)
+    cfg.finalize()
+    ckpt = run_exp(cfg)
+    assert osp.exists(ckpt)
+
+
+def test_validation_with_edge_mesh_matches(tiny_cfg):
+    """validation() with --mesh_shape edge=4 (distributed inference on
+    every oversize graph) scores the same accuracy as the single-chip
+    full-graph path."""
+    import dataclasses
+    from lp_gnn_tpu.infer.predict import validation
+    from lp_gnn_tpu.models.gcn import build_model
+    import jax
+    model = build_model(tiny_cfg.arch)
+    params = model.init(jax.random.PRNGKey(0))
+    ds = LPDataset(tiny_cfg.dataset_processed_prefix)
+    _, val_ds = split_train_val(ds, tiny_cfg.seed)
+    _, acc_ref = validation(model, params, val_ds, tiny_cfg)
+    cfg = dataclasses.replace(tiny_cfg, mesh_shape="edge=4",
+                              edge_num_thresh=1.0)
+    _, acc_dist = validation(model, params, val_ds, cfg)
+    assert abs(acc_ref - acc_dist) < 1e-6
