@@ -120,8 +120,10 @@ def _round_up(x: int, mult: int) -> int:
 
 BLOCK_R = 128    # dst rows per block (MXU tile height)
 BLOCK_K = 512    # min edges per chunk (MXU contraction depth)
-BLOCK_K_MAX = 2048   # on-chip sweep optimum: larger chunks amortize better
-                     # until slot fill collapses (RESULTS.md)
+BLOCK_K_MAX = 1024   # on-chip sweep optimum (round 2, bench shape):
+                     # 1024 -> 148.5M trav/s vs 2048 -> 139.3M (slot fill
+                     # collapses: K=2048 pads the gather by ~33%) and
+                     # 512 -> 146.6M (chunk count overhead)
 
 
 def pick_block_k(e_pad: int, num_dst: int, R: int = BLOCK_R) -> int:
