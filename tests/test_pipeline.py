@@ -315,3 +315,30 @@ def test_validation_with_edge_mesh_matches(tiny_cfg):
                               edge_num_thresh=1.0)
     _, acc_dist = validation(model, params, val_ds, cfg)
     assert abs(acc_ref - acc_dist) < 1e-6
+
+
+def test_skip_exist_rerun_is_idempotent(tiny_cfg):
+    """--skip_exist 1 re-run of the prep stages must do zero new solver
+    work: no artifact under the dataset tree is rewritten."""
+    import dataclasses
+    cfg = dataclasses.replace(tiny_cfg, skip_exist=1)
+    tracked = []
+    for root, _dirs, files in os.walk(cfg.dataset_prefix):
+        for f in files:
+            p = osp.join(root, f)
+            tracked.append((p, os.stat(p).st_mtime_ns))
+    pipeline.stage_run_solver(cfg)
+    pipeline.stage_cvt_to_pkl(cfg)
+    pipeline.stage_process(cfg)
+    for p, mtime in tracked:
+        assert os.stat(p).st_mtime_ns == mtime, f"rewritten: {p}"
+
+
+def test_missing_dataset_clean_error(tmp_path):
+    """A dataset with no mps files fails with a clean ValueError, not a
+    deep traceback from the solver stage."""
+    cfg = Config(exp_nm="t-missing", dataset="nope",
+                 data_prefix=str(tmp_path / "lp-dataset"),
+                 log_prefix=str(tmp_path / "runs")).finalize()
+    with pytest.raises(ValueError, match="no mps under"):
+        pipeline.stage_run_solver(cfg)
