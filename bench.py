@@ -30,9 +30,8 @@ precision a direct translation of the reference would land on, counted
 with the same 6-traversal rule). The framework's chunked one-hot MXU SpMM
 (ops/spmm.py blocked_spmm) is what's being measured, in its default
 precision: bf16 compute with fp32 SpMM accumulation/masking — validated
-end to end at full scale (RESULTS.md: the 800-epoch bf16 run matches fp32
-val accuracy at 0.854 and improves warm-start reduction, 1.84x native /
-1.67x HiGHS vs fp32's 1.76x / 1.63x).
+end to end at full scale (RESULTS.md: the 800-epoch bf16 rerun matches
+fp32 val accuracy at 0.855 with a 1.63x HiGHS warm-start reduction).
 
 Set ``BENCH_MEASURE_BASELINE=1`` to re-measure the naive scatter baseline
 live in the same run (fp32 ``segment_spmm`` path, block layouts stripped, no
