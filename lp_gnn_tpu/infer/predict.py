@@ -67,8 +67,9 @@ def model_inference(model: Model, params, g: BipartiteGraph,
     (fanout -1) sampled shards over seed batches, concatenating seed logits.
     With a ``mesh``, oversize graphs instead run edge-partitioned full-graph
     distributed inference — the TPU build's replacement for sampled sharding
-    (SURVEY.md §2.3) — with halo exchange for the GraphConv archs (GEN's
-    softmax aggregation uses its own collective decomposition).
+    (SURVEY.md §2.3) — with boundary halo exchange for the whole model zoo
+    (GEN's softmax aggregation runs over the compact halo space with
+    owner-combined maxes).
     Returns (logit_cons (m,3), logit_vars (n,3)) numpy, unpadded.
     """
     from ..parallel.edge_partition import DIST_MODELS
@@ -78,7 +79,7 @@ def model_inference(model: Model, params, g: BipartiteGraph,
         # shard count = size of the 'edge' axis only (a 2-D dp x edge mesh
         # must not inflate the partition)
         n_shards = dict(zip(mesh.axis_names, mesh.devices.shape))["edge"]
-        halo = model.name in ("GCN_FC", "GCN", "GCNDeeper")
+        halo = model.name in ("GCN_FC", "GCN", "GCNDeeper", "GENDeeper")
         dg = partition_graph(pad_graph(g), n_shards, halo=halo)
         lc, lv = dist_apply(params, dg, mesh, arch=model.name)
         return (np.asarray(lc)[: g.ncons], np.asarray(lv)[: g.nvars])

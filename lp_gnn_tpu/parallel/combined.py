@@ -57,10 +57,17 @@ def partition_batch(pgs: list[PaddedGraph], n_edge: int,
              "blkh_c_src": 0, "blkh_c_dst": 127,
              "blkh_c_out": -(-nh // 128) - 1}
 
-    def pad_to(v, tgt, fill):
+    def pad_to(v, tgt, fill, identity_tail=False):
         if v.shape == tgt:
             return v
-        out = np.full(tgt, fill, dtype=v.dtype)
+        if identity_tail:
+            # permutation fields: padded edge positions must map to
+            # themselves (a constant fill would route real positions'
+            # cotangents into padded segments in the gather backwards)
+            out = np.tile(np.arange(tgt[-1], dtype=v.dtype),
+                          tgt[:-1] + (1,)).reshape(tgt)
+        else:
+            out = np.full(tgt, fill, dtype=v.dtype)
         out[tuple(slice(0, s) for s in v.shape)] = v
         return out
 
@@ -72,7 +79,9 @@ def partition_batch(pgs: list[PaddedGraph], n_edge: int,
         vals = [np.asarray(v) for v in vals]
         tgt = tuple(max(v.shape[i] for v in vals)
                     for i in range(vals[0].ndim))
-        batch[f] = np.stack([pad_to(v, tgt, fills.get(f, 0)) for v in vals])
+        batch[f] = np.stack([pad_to(v, tgt, fills.get(f, 0),
+                                    identity_tail=f.startswith("eperm"))
+                             for v in vals])
     return batch
 
 

@@ -62,6 +62,7 @@ SHARD_FIELDS = ["row_r", "col_r", "val_r", "row_c", "col_c", "val_c",
                 "blkr_src", "blkr_dst", "blkr_val", "blkr_out",
                 "blkc_src", "blkc_dst", "blkc_val", "blkc_out",
                 "halo_send", "halo_perm", "halo_ids",
+                "hcol_r", "hseg", "hrow", "hval", "eperm_r2h", "eperm_h2r",
                 "blkl_r_src", "blkl_r_dst", "blkl_r_val", "blkl_r_out",
                 "blkl_c_src", "blkl_c_dst", "blkl_c_val", "blkl_c_out",
                 "blkh_r_src", "blkh_r_dst", "blkh_r_val", "blkh_r_out",
@@ -114,6 +115,13 @@ class PartitionedGraph:
     halo_send: np.ndarray | None = None  # (D, D, Bh) int32 local var rows
     halo_perm: np.ndarray | None = None  # (D, D*Bh) int32 sort perm
     halo_ids: np.ndarray | None = None   # (D, D*Bh) int32 sorted local ids
+    # GEN halo: per-edge compact indices into [local (ns); halo slots (nh)]
+    hcol_r: np.ndarray | None = None     # (D, Es) int32, row-sorted order
+    hseg: np.ndarray | None = None       # (D, Es) int32 sorted compact ids
+    hrow: np.ndarray | None = None       # (D, Es) int32 local cons, h-order
+    hval: np.ndarray | None = None       # (D, Es) float32, h-order
+    eperm_r2h: np.ndarray | None = None  # (D, Es) Y_h = Y_r[eperm_r2h]
+    eperm_h2r: np.ndarray | None = None  # (D, Es) Y_r = Y_h[eperm_h2r]
     blkl_r_src: np.ndarray | None = None  # dst local cons / src LOCAL var
     blkl_r_dst: np.ndarray | None = None
     blkl_r_val: np.ndarray | None = None
@@ -339,7 +347,50 @@ def partition_graph(pg: PaddedGraph, n_shards: int, halo: bool = False,
                                  for dst, slot, v in slot_edges], ms)
         blkh_c = stacked_blocks([(slot, dst, v)
                                  for dst, slot, v in slot_edges], nh)
+        # per-edge compact-index arrays for the GEN halo path: edges address
+        # the concatenated [local vars (ns); halo slots (nh)] feature space
+        # instead of the global var axis. hcol_r is in the row-sorted
+        # ordering; the h-ordering (sorted by compact id, padding at the
+        # max id so real edges stay first) carries the vars<-cons direction:
+        # hseg (sorted segments), hrow/hval (edge data), and the two
+        # cross-ordering permutations (Y_h = Y_r[eperm_r2h],
+        # Y_r = Y_h[eperm_h2r]).
+        HC_r, HSEG, HROW, HVAL, EP_r2h, EP_h2r = [], [], [], [], [], []
+        for d, (r, c, v) in enumerate(shards):
+            k = len(r)
+            o1 = np.lexsort((c, r))          # the row-sorted real ordering
+            rr_loc = (r[o1] - d * ms).astype(np.int32)
+            cg = c[o1]
+            owner = cg // ns
+            comp = np.empty(k, np.int64)
+            own = owner == d
+            comp[own] = cg[own] - d * ns
+            for e in range(n_shards):
+                if e == d:
+                    continue
+                sel = owner == e
+                comp[sel] = ns + e * bh + np.searchsorted(
+                    blists[d][e], cg[sel] - e * ns)
+            pad_id = ns + nh - 1
+            hcol = np.full(es, pad_id, np.int32)
+            hcol[:k] = comp
+            oh = np.argsort(hcol, kind="stable").astype(np.int32)
+            inv = np.empty(es, np.int32)
+            inv[oh] = np.arange(es, dtype=np.int32)
+            hrow = np.full(es, ms - 1, np.int32)
+            hrow[:k] = rr_loc
+            hval = np.zeros(es, np.float32)
+            hval[:k] = v[o1]
+            HC_r.append(hcol)
+            HSEG.append(hcol[oh])
+            HROW.append(hrow[oh])
+            HVAL.append(hval[oh])
+            EP_r2h.append(oh)
+            EP_h2r.append(inv)
         halo_fields = dict(
+            hcol_r=np.stack(HC_r), hseg=np.stack(HSEG),
+            hrow=np.stack(HROW), hval=np.stack(HVAL),
+            eperm_r2h=np.stack(EP_r2h), eperm_h2r=np.stack(EP_h2r),
             halo_send=halo_send, halo_perm=halo_perm, halo_ids=halo_ids,
             blkl_r_src=blkl_r[0], blkl_r_dst=blkl_r[1], blkl_r_val=blkl_r[2],
             blkl_r_out=blkl_r[3],
@@ -674,6 +725,84 @@ def _gen_mlp(p, aggr, x_dst):
     return linear_apply(p["mlp"]["l2"], h)
 
 
+def _dist_gen_bidir_halo(p, shard, left, right, ms, n_pad, ax):
+    """GEN two-direction layer over the boundary halo exchange.
+
+    cons <- vars: one halo_gather of the projected source features replaces
+    the all_gather; per-edge gathers index the concatenated
+    [local vars; halo slots] space (``hcol_r``), and the shard-local
+    softmax is unchanged (every edge of a local row is local).
+    vars <- cons: per-edge messages are built in the h-ordering (sorted by
+    compact destination), the segment max / exp-sum / weighted-sum run over
+    the compact space, the max is combined at the owners and broadcast back
+    through the halo (both legs under stop_gradient, matching the
+    single-chip stop-gradient on the shift), and the den/num partials ride
+    ``halo_reduce`` home. Comm per layer: 4 halo exchanges of H rows vs the
+    decomposition's 3 full-width (N_pad) collectives."""
+    from ..ops.spmm import gather_src
+    from ..models.gen import EPS
+    ns = right.shape[0]
+    nh = shard["halo_perm"].shape[0]
+    C = ns + nh
+    es = shard["hseg"].shape[0]
+    emask = jnp.arange(es) < shard["nnz_s"]
+    hs, hp, hi = shard["halo_send"], shard["halo_perm"], shard["halo_ids"]
+
+    # ---- r2l: dst = cons (local softmax), sources via the halo
+    pr = p["r2l"]
+    r_src = linear_apply(pr["lin_src"], right) if "lin_src" in pr else right
+    x_dst_l = linear_apply(pr["lin_dst"], left) if "lin_dst" in pr else left
+    hbuf = halo_gather(r_src, hs, hp, hi, ax)
+    right_cat = jnp.concatenate([r_src, hbuf], axis=0)
+    e_r = linear_apply(pr["edge"], shard["val_r"][:, None].astype(right.dtype))
+    xs = gather_src(right_cat, shard["hcol_r"], shard["hseg"],
+                    shard["eperm_r2h"], C)
+    msg = jax.nn.relu(xs + e_r) + EPS
+    msg32 = msg.astype(jnp.float32)
+    t_r = pr["t"].astype(jnp.float32)
+    aggr_c = _dist_gen_softmax_agg_local(msg32 * t_r, msg32, shard["row_r"],
+                                         ms, emask)
+    left_new = _gen_mlp(pr, aggr_c, x_dst_l)
+
+    # ---- l2r: dst = vars (compact segments), local sources, h-ordering
+    pl = p["l2r"]
+    l_src = linear_apply(pl["lin_src"], left) if "lin_src" in pl else left
+    x_dst_r = linear_apply(pl["lin_dst"], right) if "lin_dst" in pl else right
+    e_c = linear_apply(pl["edge"], shard["hval"][:, None].astype(left.dtype))
+    xs2 = gather_src(l_src, shard["hrow"], shard["row_r"],
+                     shard["eperm_h2r"], ms)
+    msg2 = jax.nn.relu(xs2 + e_c) + EPS
+    msg2_32 = msg2.astype(jnp.float32)
+    t_l = pl["t"].astype(jnp.float32)
+    logits = msg2_32 * t_l
+    em = emask[:, None]
+    mx_part = jax.ops.segment_max(jnp.where(em, logits, -jnp.inf),
+                                  shard["hseg"], num_segments=C,
+                                  indices_are_sorted=True)
+    mx_part = jax.lax.stop_gradient(mx_part)
+    # combine per-var maxes at the owners (max over incoming slot partials
+    # and the local partial), then broadcast back through the halo — the
+    # same shift the single-chip path stop-gradients (models/gen.py)
+    back = _halo_a2a(mx_part[ns:], ax)
+    mx_own = jnp.maximum(
+        mx_part[:ns],
+        jax.ops.segment_max(back[hp], hi, num_segments=ns,
+                            indices_are_sorted=True))
+    mx_own = jnp.where(jnp.isfinite(mx_own), mx_own, 0.0)
+    mx_slots = jax.lax.stop_gradient(halo_gather(mx_own, hs, hp, hi, ax))
+    mx_cat = jnp.concatenate([mx_own, mx_slots], axis=0)
+    ex = jnp.where(em, jnp.exp(logits - mx_cat[shard["hseg"]]), 0.0)
+    den_part = jax.ops.segment_sum(ex, shard["hseg"], num_segments=C,
+                                   indices_are_sorted=True)
+    num_part = jax.ops.segment_sum(ex * msg2_32, shard["hseg"],
+                                   num_segments=C, indices_are_sorted=True)
+    den = den_part[:ns] + halo_reduce(den_part[ns:], hs, hp, hi, ns, ax)
+    num = num_part[:ns] + halo_reduce(num_part[ns:], hs, hp, hi, ns, ax)
+    aggr_v = num / jnp.maximum(den, 1e-16)
+    right_new = _gen_mlp(pl, aggr_v, x_dst_r)
+    return left_new, right_new
+
+
 def _dist_gen_bidir(p, shard, left, right, ms, n_pad, ax):
     """Distributed GENConv two-direction layer (models/gen.py semantics).
 
@@ -681,9 +810,14 @@ def _dist_gen_bidir(p, shard, left, right, ms, n_pad, ax):
     so the softmax is shard-local; only the source features cross shards
     (projected locally first, then one all_gather). vars <- cons: the
     destination segments span shards — per-shard max is pmax-combined and
-    the exp-sums ride the same psum_scatter the GraphConv path uses."""
+    the exp-sums ride the same psum_scatter the GraphConv path uses.
+    With halo layouts present (partition_graph(halo=True)) the boundary
+    halo exchange replaces every full-width collective
+    (:func:`_dist_gen_bidir_halo`)."""
     from ..ops.spmm import gather_src
     from ..models.gen import EPS
+    if shard.get("hseg") is not None:
+        return _dist_gen_bidir_halo(p, shard, left, right, ms, n_pad, ax)
     ns = right.shape[0]
     emask = jnp.arange(shard["val_r"].shape[0]) < shard["nnz_s"]
 

@@ -271,7 +271,8 @@ def run_exp(cfg: Config, dataset: LPDataset | None = None) -> str:
                             "graphs fall back to sampling", model.name)
         else:
             edge_mesh = make_mesh({"edge": edge_size})
-            dist_halo = model.name in ("GCN_FC", "GCN", "GCNDeeper")
+            dist_halo = model.name in ("GCN_FC", "GCN", "GCNDeeper",
+                                       "GENDeeper")
             dist_step = jax.jit(make_dist_train_step(
                 cfg.loss, optimizer, edge_mesh, arch=model.name))
             logging.info("edge-partitioned training: %d shards, %s "
@@ -299,7 +300,9 @@ def run_exp(cfg: Config, dataset: LPDataset | None = None) -> str:
                 from ..parallel.edge_partition import (partition_graph,
                                                        attach_dist_input_agg)
                 dg = partition_graph(pad_graph(g), edge_size, halo=dist_halo)
-                if getattr(cfg, "cache_in_agg", 1):
+                # the GEN archs cannot cache the input aggregation (softmax
+                # weights depend on the params)
+                if getattr(cfg, "cache_in_agg", 1) and "GEN" not in model.name:
                     dg = attach_dist_input_agg(dg, edge_mesh)
                 padded_cache[idx] = ("dist", dg)
             else:

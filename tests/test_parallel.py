@@ -182,12 +182,14 @@ def test_halo_wire_volume_small_on_banded_graph(rng):
     ("GCN(8,8,hids=16)", True),
     ("GCNDeeper(8,8,hids=16,depth=5)", True),
     ("GENDeeper(8,8,hids=16,depth=4)", False),
+    ("GENDeeper(8,8,hids=16,depth=4)", True),
 ])
 def test_dist_forward_all_archs(rng, arch, halo):
     """Every registered arch runs edge-partitioned and matches its
     single-chip logits (reference arch.py:144-289; round-1 gated the
-    distributed path to GCN_FC only). GEN's softmax aggregation uses the
-    cross-shard pmax/psum decomposition instead of halo layouts."""
+    distributed path to GCN_FC only). GEN's softmax aggregation runs either
+    over the cross-shard pmax/psum decomposition (halo=False) or over the
+    compact halo space with owner-combined maxes (halo=True)."""
     pg = make_pg(rng, m=24, n=40, e=150)
     model = build_model(arch)
     params = model.init(jax.random.PRNGKey(0))
@@ -222,14 +224,16 @@ def test_dist_gen_train_step_matches_single_chip(rng):
     p_ref = optax.apply_updates(params,
                                 jax.tree.map(lambda u: -1e-3 * u, upd_ref))
     mesh = make_mesh({"edge": 4})
-    dg = partition_graph(pg, 4)
     step = make_dist_train_step("balanced", optimizer, mesh, dp_rate=0.0,
                                 arch=model.name)
-    p2, _, loss = step(params, optimizer.init(params), dg,
-                       jax.random.PRNGKey(1), jnp.float32(1e-3))
-    assert np.isclose(float(loss), float(loss_ref), rtol=1e-5)
-    for a, b in zip(jax.tree.leaves(p2), jax.tree.leaves(p_ref)):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+    for halo in (False, True):
+        dg = partition_graph(pg, 4, halo=halo)
+        p2, _, loss = step(params, optimizer.init(params), dg,
+                           jax.random.PRNGKey(1), jnp.float32(1e-3))
+        assert np.isclose(float(loss), float(loss_ref), rtol=1e-5), halo
+        for a, b in zip(jax.tree.leaves(p2), jax.tree.leaves(p_ref)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-5, err_msg=f"halo={halo}")
 
 
 def test_dp_train_step_runs_and_improves(rng):
