@@ -75,11 +75,12 @@ def model_inference(model: Model, params, g: BipartiteGraph,
     from ..parallel.edge_partition import DIST_MODELS
     if mesh is not None and g.nnz > edge_num_thresh and \
             "edge" in mesh.axis_names and model.name in DIST_MODELS:
-        from ..parallel.edge_partition import partition_graph, dist_apply
+        from ..parallel.edge_partition import (partition_graph, dist_apply,
+                                               DIST_HALO_ARCHS)
         # shard count = size of the 'edge' axis only (a 2-D dp x edge mesh
         # must not inflate the partition)
         n_shards = dict(zip(mesh.axis_names, mesh.devices.shape))["edge"]
-        halo = model.name in ("GCN_FC", "GCN", "GCNDeeper", "GENDeeper")
+        halo = model.name in DIST_HALO_ARCHS
         dg = partition_graph(pad_graph(g), n_shards, halo=halo)
         lc, lv = dist_apply(params, dg, mesh, arch=model.name)
         return (np.asarray(lc)[: g.ncons], np.asarray(lv)[: g.nvars])

@@ -896,6 +896,14 @@ DIST_MODELS = {
     "GENDeeper": dist_gen_deeper_apply,
 }
 
+#: archs whose distributed forward takes the boundary halo exchange — every
+#: arch with a communication path. GCNRand communicates nothing (per-shard
+#: uniforms through the local knowledge mask), so halo layouts would be dead
+#: weight. Single source of truth for the trainer / predict halo switch: a
+#: new DIST_MODELS entry is halo-capable by default instead of silently
+#: losing halo in a forgotten string-tuple copy.
+DIST_HALO_ARCHS = frozenset(DIST_MODELS) - {"GCNRand"}
+
 
 # -------------------------------------------------------------- dist. losses
 # one CE primitive shared with the single-chip losses, so the documented
@@ -938,7 +946,21 @@ def dist_unbalanced_loss(lc, lv, y_s, y_t, mask_s, mask_t, ax):
     return num / jnp.maximum(den, 1e-12)
 
 
-DIST_LOSSES = {"balanced": dist_balanced_loss, "unbalanced": dist_unbalanced_loss}
+def dist_focal_loss(lc, lv, y_s, y_t, mask_s, mask_t, ax,
+                    gamma: float = 2.0):
+    """Distributed focal loss, preserving the reference's quirk of applying
+    the (1-pt)^gamma modulation to the *mean* CE (train.py:18-28,
+    train/losses.focal). The mean CE is the psum-reduced unbalanced loss —
+    a replicated scalar — so the modulation is identical on every shard and
+    the value matches the single-chip focal bit-for-bit."""
+    ce = dist_unbalanced_loss(lc, lv, y_s, y_t, mask_s, mask_t, ax)
+    pt = jnp.exp(-ce)
+    return (1.0 - pt) ** gamma * ce
+
+
+DIST_LOSSES = {"balanced": dist_balanced_loss,
+               "unbalanced": dist_unbalanced_loss,
+               "focal": dist_focal_loss}
 
 
 # ------------------------------------------------------------------- wrappers
