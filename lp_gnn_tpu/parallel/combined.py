@@ -21,31 +21,51 @@ from jax import shard_map
 
 from .edge_partition import (
     SHARD_FIELDS, PartitionedGraph, partition_graph, compute_halo_width,
-    dist_gcn_fc_apply, DIST_LOSSES,
+    _shard_sizes, attach_dist_input_agg, DIST_MODELS, DIST_LOSSES,
 )
 from ..data.batching import PaddedGraph
 
 
 def partition_batch(pgs: list[PaddedGraph], n_edge: int,
-                    halo: bool = False) -> dict:
+                    halo: bool = False, input_agg_mesh: Mesh | None = None,
+                    input_agg_ax: str = "edge") -> dict:
     """Partition each same-bucket graph and stack: leaves (B, D, ...).
 
-    The per-shard edge pad (Es) and the blocked-layout chunk counts are
-    data-dependent, so same-bucket graphs generally partition to different
-    shapes; every field is padded to the batch maximum with the same no-op
-    fill conventions partition_graph uses internally (padding edges target
-    the shard's last row / the global last var with val 0; padding chunks
-    aim at the last destination block with val 0). With ``halo=True`` all
-    graphs share one halo width (the batch max) so the slot layout — and
-    therefore every halo field's shape — is identical across the batch."""
-    hw = max(compute_halo_width(pg, n_edge) for pg in pgs) if halo else None
-    dgs = [partition_graph(pg, n_edge, halo=halo, halo_width=hw)
+    All graphs share one per-shard block size (the batch max of
+    ``_shard_sizes``) and, with ``halo=True``, one halo width (the batch
+    max), so the slot layout — and therefore every node/halo field's shape —
+    is identical across the batch. The per-shard edge pad (Es) and the
+    blocked-layout chunk counts are still data-dependent, so same-bucket
+    graphs generally partition to different shapes; every such field is
+    padded to the batch maximum with the same no-op fill conventions
+    partition_graph uses internally (padding edges target the shard's last
+    row / the last var or compact halo slot with val 0; padding chunks aim
+    at the last destination block with val 0 — all fills keep the sorted
+    segment ids ascending so ``indices_are_sorted`` stays truthful).
+
+    ``input_agg_mesh`` (an edge-axis mesh over one mesh row) additionally
+    precomputes each graph's input-conv aggregation
+    (:func:`attach_dist_input_agg`) so the dp x edge step skips the input
+    conv's 2 edge traversals and 2 collectives — exact for the GraphConv
+    archs (the GEN softmax aggregation is params-dependent; don't pass a
+    mesh for those)."""
+    ms_sh = max(_shard_sizes(pg, n_edge)[0] for pg in pgs)
+    ns_sh = max(_shard_sizes(pg, n_edge)[1] for pg in pgs)
+    hw = max(compute_halo_width(pg, n_edge, ms=ms_sh, ns=ns_sh)
+             for pg in pgs) if halo else None
+    dgs = [partition_graph(pg, n_edge, halo=halo, halo_width=hw,
+                           ms=ms_sh, ns=ns_sh)
            for pg in pgs]
+    if input_agg_mesh is not None:
+        dgs = [attach_dist_input_agg(dg, input_agg_mesh, input_agg_ax)
+               for dg in dgs]
     ms = dgs[0].ms
     n_pad = dgs[0].n_pad
     nh = n_edge * hw if halo else 0
     fills = {"row_r": ms - 1, "row_c": ms - 1,
              "col_r": n_pad - 1, "col_c": n_pad - 1,
+             "hcol_r": ns_sh + nh - 1, "hseg": ns_sh + nh - 1,
+             "hrow": ms - 1,
              "blkr_src": 0, "blkr_dst": 127, "blkr_out": ms // 128 - 1,
              "blkc_src": 0, "blkc_dst": 127, "blkc_out": n_pad // 128 - 1,
              "blkl_r_src": 0, "blkl_r_dst": 127,
@@ -87,13 +107,18 @@ def partition_batch(pgs: list[PaddedGraph], n_edge: int,
 
 def make_dp_edge_train_step(loss_name: str, optimizer, mesh: Mesh,
                             dp_ax: str = "dp", edge_ax: str = "edge",
-                            dp_rate: float = 0.1, train: bool = True):
+                            dp_rate: float = 0.1, train: bool = True,
+                            arch: str = "GCN_FC"):
     """step(params, opt_state, batch_dict, rng, lr) over a (dp, edge) mesh.
 
     ``batch_dict`` comes from :func:`partition_batch`; leaf shapes are
-    (B, D_edge, ...) with B divisible by the dp axis size.
+    (B, D_edge, ...) with B divisible by the dp axis size. ``arch``
+    dispatches the per-shard forward through ``DIST_MODELS`` — every
+    registered arch (reference arch.py:144-289) runs dp x edge, with the
+    boundary halo exchange whenever the batch carries halo layouts.
     """
     dist_loss = DIST_LOSSES[loss_name]
+    apply_fn = DIST_MODELS[arch]
     n_edge = dict(zip(mesh.axis_names, mesh.devices.shape))[edge_ax]
 
     def body(params, data, rngs, lr):
@@ -103,8 +128,8 @@ def make_dp_edge_train_step(loss_name: str, optimizer, mesh: Mesh,
         n_pad = local["v_feas"].shape[-2] * n_edge
 
         def one_graph_loss(params, shard, rng):
-            lc, lv = dist_gcn_fc_apply(params, shard, ms, n_pad, edge_ax,
-                                       dp_rate, train=train, rng=rng)
+            lc, lv = apply_fn(params, shard, ms, n_pad, edge_ax,
+                              dp_rate, train=train, rng=rng)
             loss = dist_loss(lc, lv, shard["y_s"], shard["y_t"],
                              shard["cons_mask"], shard["vars_mask"], edge_ax)
             return loss / n_edge   # psum-transpose correction (edge axis)

@@ -175,6 +175,20 @@ class MetricsWriter:
             self.tb.close()
 
 
+class NullWriter:
+    """No-op MetricsWriter for non-primary processes of a multi-host run
+    (all processes compute identically; only process 0 writes artifacts)."""
+
+    def scalar(self, tag, value, step):
+        pass
+
+    def text(self, tag, value):
+        pass
+
+    def close(self):
+        pass
+
+
 # ---------------------------------------------------------------- checkpoints
 def save_ckpt(path: str, params, opt_state=None, epoch: int = 0, extra=None):
     state = {"params": jax.device_get(params),
@@ -218,8 +232,14 @@ def run_exp(cfg: Config, dataset: LPDataset | None = None) -> str:
     """Full training run; returns the checkpoint path
     (reference train.py:55-172)."""
     log_dir = cfg.log_dir
-    writer = MetricsWriter(log_dir)
-    json_dump(cfg.to_dict(), os.path.join(log_dir, "args.json"))
+    # multi-host: every process runs the same loop (collectives require all
+    # participants); only process 0 touches the filesystem, and host arrays
+    # stay numpy (local device_put commits would conflict with global meshes)
+    n_procs = jax.process_count()
+    is_primary = jax.process_index() == 0
+    writer = MetricsWriter(log_dir) if is_primary else NullWriter()
+    if is_primary:
+        json_dump(cfg.to_dict(), os.path.join(log_dir, "args.json"))
 
     ds = dataset or LPDataset(cfg.dataset_processed_prefix)
     train_ds, val_ds = split_train_val(ds, cfg.seed)
@@ -245,34 +265,68 @@ def run_exp(cfg: Config, dataset: LPDataset | None = None) -> str:
         logging.info("resumed from %s at epoch %d", cfg.load_from, start_epoch)
     train_step = make_train_step(model, cfg.loss, optimizer)
 
-    # --mesh_shape "edge=K": oversize graphs (> edge_num_thresh) train
-    # edge-partitioned FULL-graph across K devices — the TPU replacement
-    # for the reference's NeighborLoader sampling switch (train.py:102-116,
-    # SURVEY §2.3) — with boundary halo exchange for the GraphConv archs.
-    # Small graphs keep the single-device (or dp-stacked) path. Falls back
-    # to fanout sampling when the arch has no distributed forward or the
-    # mesh exceeds the device count.
+    # Distribution axes (--mesh_shape "dp=K,edge=M", SURVEY §2.3):
+    #   edge=M : oversize graphs (> edge_num_thresh) train edge-partitioned
+    #            FULL-graph across M devices — the TPU replacement for the
+    #            reference's NeighborLoader sampling switch
+    #            (train.py:102-116) — with boundary halo exchange for the
+    #            halo-capable archs (DIST_HALO_ARCHS).
+    #   dp=K   : same-bucket graphs stack K-way data-parallel (the
+    #            reference has no DP at all, train.py:81-83).
+    #   both   : ONE (dp, edge) device grid — oversize graphs are grouped
+    #            into same-bucket batches and stepped through
+    #            make_dp_edge_train_step (parallel/combined.py, the full
+    #            multi-chip configuration); leftover oversize graphs run
+    #            single-graph edge-partitioned on the grid's first row, and
+    #            small graphs dp-stack on its first column.
+    # Falls back with a warning when the arch has no distributed forward or
+    # the mesh exceeds the device count.
+    from ..parallel.mesh import parse_mesh_shape
+    mesh_dims = parse_mesh_shape(getattr(cfg, "mesh_shape", "") or "")
+    edge_size = int(mesh_dims.get("edge", 1))
+    dp_size = int(mesh_dims.get("dp", 1))
+    graph_batch = max(int(getattr(cfg, "graph_batch", 1)), 1)
+    ndev = len(jax.devices())
+
     dist_step, edge_mesh, dist_halo = None, None, False
-    mesh_spec = getattr(cfg, "mesh_shape", "")
-    edge_size = 1
-    if mesh_spec and "edge=" in mesh_spec:
-        from ..parallel.mesh import parse_mesh_shape
-        edge_size = parse_mesh_shape(mesh_spec).get("edge", 1)
+    combined_step = None
+    dp_step, dp_mesh, stack_size = None, None, 0
+
+    if dp_size > 1 and edge_size > 1 and dp_size * edge_size > ndev:
+        logging.warning("mesh_shape dp=%d,edge=%d exceeds %d devices — "
+                        "dropping the dp axis", dp_size, edge_size, ndev)
+        dp_size = 1
     if edge_size > 1:
         from ..parallel.mesh import make_mesh
         from ..parallel.edge_partition import (make_dist_train_step,
-                                               DIST_MODELS)
-        if edge_size > len(jax.devices()):
+                                               DIST_MODELS, DIST_HALO_ARCHS)
+        if edge_size > ndev:
             logging.warning("mesh_shape edge=%d exceeds %d devices — "
                             "oversize graphs fall back to sampling",
-                            edge_size, len(jax.devices()))
+                            edge_size, ndev)
         elif model.name not in DIST_MODELS:
             logging.warning("arch %s has no distributed forward — oversize "
                             "graphs fall back to sampling", model.name)
         else:
-            edge_mesh = make_mesh({"edge": edge_size})
-            dist_halo = model.name in ("GCN_FC", "GCN", "GCNDeeper",
-                                       "GENDeeper")
+            dist_halo = model.name in DIST_HALO_ARCHS
+            if dp_size > 1:
+                # the full 2-D configuration: ONE device grid for every
+                # step. The pure-edge (leftover oversize) and pure-dp
+                # (small-stack) steps run over the same grid with the
+                # unused axis replicated — mixing device sets across steps
+                # would make jit reject the shared params pytree.
+                from ..parallel.combined import make_dp_edge_train_step
+                combined_mesh = make_mesh({"dp": dp_size, "edge": edge_size})
+                combined_step = make_dp_edge_train_step(
+                    cfg.loss, optimizer, combined_mesh, arch=model.name)
+                edge_mesh = combined_mesh
+                dp_mesh = combined_mesh
+                logging.info("combined dp x edge training: %d x %d grid, "
+                             "arch %s, %s collectives", dp_size, edge_size,
+                             model.name,
+                             "halo" if dist_halo else "all-gather")
+            else:
+                edge_mesh = make_mesh({"edge": edge_size})
             dist_step = jax.jit(make_dist_train_step(
                 cfg.loss, optimizer, edge_mesh, arch=model.name))
             logging.info("edge-partitioned training: %d shards, %s "
@@ -288,13 +342,18 @@ def run_exp(cfg: Config, dataset: LPDataset | None = None) -> str:
             if g.nnz <= cfg.edge_num_thresh:
                 # device-resident cache: upload once, reuse across epochs
                 # (host->device transfers dominate step time on tunneled
-                # devices otherwise)
-                pg_new = jax.device_put(pad_graph(g))
+                # devices otherwise). Multi-host keeps numpy: a local
+                # device_put would conflict with the global device set.
+                pg_new = pad_graph(g)
+                if n_procs == 1:
+                    pg_new = jax.device_put(pg_new)
                 if getattr(cfg, "cache_in_agg", 1):
                     # precompute the input conv's (constant) aggregations
                     # once per graph — exact, removes 2 traversals/step
                     from ..ops.spmm import attach_input_agg
                     pg_new = attach_input_agg(pg_new, jnp.dtype(model.dtype))
+                    if n_procs > 1:
+                        pg_new = jax.device_get(pg_new)
                 padded_cache[idx] = pg_new
             elif dist_step is not None:
                 from ..parallel.edge_partition import (partition_graph,
@@ -315,29 +374,22 @@ def run_exp(cfg: Config, dataset: LPDataset | None = None) -> str:
         return sample_subgraphs(g, rng_np, fanout=[6] * depth,
                                 batch_size=cfg.batch_size)
 
-    # optional batched step: --mesh_shape "dp=K" shards same-bucket graph
-    # stacks over K devices (reference has no DP at all, train.py:81), and
-    # --graph_batch B additionally vmaps B graphs per shard — B>1 on a
-    # single device gives graph-batched training (one dispatch per B graphs,
-    # gradient of the mean loss instead of B sequential steps).
-    dp_step, stack_size = None, 0
-    mesh_spec = getattr(cfg, "mesh_shape", "")
-    graph_batch = max(int(getattr(cfg, "graph_batch", 1)), 1)
-    dp_size = 1
-    if mesh_spec and "dp=" in mesh_spec:
-        from ..parallel.mesh import parse_mesh_shape
-        dp_size = parse_mesh_shape(mesh_spec).get("dp", 1)
-    if dp_size > len(jax.devices()):
+    # dp-stacked small-graph step: --mesh_shape "dp=K" shards same-bucket
+    # graph stacks over K devices, and --graph_batch B additionally vmaps B
+    # graphs per shard — B>1 on a single device gives graph-batched training
+    # (one dispatch per B graphs, gradient of the mean loss instead of B
+    # sequential steps).
+    if dp_size > ndev:
         logging.warning("mesh_shape dp=%d exceeds %d devices — falling back "
-                        "to single-device steps%s", dp_size,
-                        len(jax.devices()),
+                        "to single-device steps%s", dp_size, ndev,
                         " (graph_batch dropped too)" if graph_batch > 1 else "")
         dp_size, graph_batch = 1, 1
     if dp_size > 1 or graph_batch > 1:
         from ..parallel.mesh import make_mesh
         from ..parallel.dp import make_dp_train_step
-        mesh = make_mesh({"dp": dp_size})
-        dp_step = make_dp_train_step(model, cfg.loss, optimizer, mesh)
+        if dp_mesh is None:
+            dp_mesh = make_mesh({"dp": dp_size})
+        dp_step = make_dp_train_step(model, cfg.loss, optimizer, dp_mesh)
         stack_size = dp_size * graph_batch
         logging.info("batched training: %d device(s) x %d graphs per step",
                      dp_size, graph_batch)
@@ -420,6 +472,40 @@ def run_exp(cfg: Config, dataset: LPDataset | None = None) -> str:
                 padded_cache[cache_key] = (batches, singles, sampled_idxs)
             return padded_cache[cache_key]
 
+        def dist_stacked_groups(size: int):
+            """Group OVERSIZE graphs into same-bucket (dp x edge) batches of
+            ``size`` via partition_batch — the combined-step work units.
+            Leftover oversize graphs (bucket count % size) stay on the
+            single-graph edge-partitioned path. Built once and cached (full
+            graphs are never resampled). Returns (batches, covered_idxs)."""
+            cache_key = ("dist_stacks", size)
+            if cache_key not in padded_cache:
+                from ..parallel.combined import partition_batch
+                by_bucket: dict = {}
+                for gi in range(n_train):
+                    if train_ds[gi].nnz > cfg.edge_num_thresh:
+                        k = pad_graph(train_ds[gi]).bucket_key()
+                        by_bucket.setdefault(k, []).append(gi)
+                batches, covered = [], set()
+                # (multi-host keeps the agg off: the per-graph attach would
+                # yield edge-sharded global arrays that cannot host-stack)
+                agg_mesh = edge_mesh if (getattr(cfg, "cache_in_agg", 1)
+                                         and "GEN" not in model.name
+                                         and n_procs == 1) else None
+                for group in by_bucket.values():
+                    while len(group) >= size:
+                        chunk, group = group[:size], group[size:]
+                        b = partition_batch(
+                            [pad_graph(train_ds[i]) for i in chunk],
+                            edge_size, halo=dist_halo,
+                            input_agg_mesh=agg_mesh)
+                        if n_procs == 1:
+                            b = jax.device_put(b)
+                        batches.append(b)
+                        covered.update(chunk)
+                padded_cache[cache_key] = (batches, covered)
+            return padded_cache[cache_key]
+
         def run_one(idx_graphs, pg):
             nonlocal params, opt_state, glstep, key
             key, sk = jax.random.split(key)
@@ -432,6 +518,14 @@ def run_exp(cfg: Config, dataset: LPDataset | None = None) -> str:
                                                     jnp.float32(lr))
                 log_step(idx_graphs, float(loss), None)
                 return
+            if combined_step is not None or (n_procs > 1
+                                            and edge_mesh is not None):
+                # params live replicated on the device grid after a
+                # distributed step; place the graph there too so the plain
+                # jitted step shares the device set (global under multi-host)
+                from jax.sharding import NamedSharding, PartitionSpec
+                grid = combined_mesh if combined_step is not None else edge_mesh
+                pg = jax.device_put(pg, NamedSharding(grid, PartitionSpec()))
             params, opt_state, loss, acc = train_step(
                 params, opt_state, pg, sk, jnp.float32(lr))
             log_step(idx_graphs, float(loss), float(acc))
@@ -445,6 +539,18 @@ def run_exp(cfg: Config, dataset: LPDataset | None = None) -> str:
                     run_one(0, pg)
 
         if dp_step is not None:
+            covered = set()
+            if combined_step is not None:
+                # the full 2-D configuration: dp-sized batches of
+                # edge-partitioned oversize graphs, one grid step each
+                dist_batches, covered = dist_stacked_groups(stack_size)
+                for bi in rng_np.permutation(len(dist_batches)):
+                    key, sk = jax.random.split(key)
+                    glstep += 1
+                    params, opt_state, loss = combined_step(
+                        params, opt_state, dist_batches[int(bi)], sk,
+                        jnp.float32(lr))
+                    log_step(0, float(loss), None)
             batches, singles, sampled_idxs = stacked_groups(
                 stack_size, device_put_batches=False)
             for bi in rng_np.permutation(len(batches)):
@@ -453,7 +559,8 @@ def run_exp(cfg: Config, dataset: LPDataset | None = None) -> str:
                 params, opt_state, loss = dp_step(
                     params, opt_state, batches[int(bi)], sk, jnp.float32(lr))
                 log_step(0, float(loss), None)
-            run_singles_and_sampled(singles, sampled_idxs)
+            run_singles_and_sampled(
+                singles, [gi for gi in sampled_idxs if gi not in covered])
         elif scan_step is not None:
             batches, singles, sampled_idxs = stacked_groups(
                 scan_k, device_put_batches=True)
@@ -475,14 +582,16 @@ def run_exp(cfg: Config, dataset: LPDataset | None = None) -> str:
             trace_cm.__exit__(None, None, None)
             trace_cm = None
         # store the NEXT epoch to run so resume does not repeat this one
-        save_ckpt(ckpt_path, params, opt_state, epoch + 1,
-                  extra={"arch": cfg.arch, "loss": cfg.loss})
+        if is_primary:
+            save_ckpt(ckpt_path, params, opt_state, epoch + 1,
+                      extra={"arch": cfg.arch, "loss": cfg.loss})
         if cfg.eval_every and (epoch + 1) % cfg.eval_every == 0 and len(val_ds):
             va = _quick_val(model, params, val_ds, cfg)
             writer.scalar("val/acc", va, glstep)
             logging.info("epoch %d val acc %.4f", epoch, va)
-    save_ckpt(ckpt_path, params, opt_state, cfg.epochs,
-              extra={"arch": cfg.arch, "loss": cfg.loss})
+    if is_primary:
+        save_ckpt(ckpt_path, params, opt_state, cfg.epochs,
+                  extra={"arch": cfg.arch, "loss": cfg.loss})
     writer.close()
     return ckpt_path
 

@@ -236,6 +236,47 @@ def test_dist_gen_train_step_matches_single_chip(rng):
                                        atol=1e-5, err_msg=f"halo={halo}")
 
 
+def test_dist_focal_train_step_matches_single_chip(rng):
+    """--loss focal --mesh_shape edge=K must work (round-2 VERDICT: focal
+    was missing from DIST_LOSSES and KeyError'ed) and one edge-partitioned
+    focal step must equal the single-chip focal step."""
+    import optax
+    from lp_gnn_tpu.train.losses import focal
+    pg = make_pg(rng, m=24, n=40, e=150)
+    model = build_model("GCN_FC(8,8,hids=16,depth=3)")
+    params = model.init(jax.random.PRNGKey(0))
+    optimizer = make_optimizer("sgd")
+
+    def single_loss(p):
+        lc, lv = model.apply(p, pg, train=False)
+        ms, mt = seed_masks(pg)
+        return focal(lc, lv, pg.y_s, pg.y_t, ms, mt)
+
+    loss_ref, grads_ref = jax.value_and_grad(single_loss)(params)
+    upd_ref, _ = optimizer.update(grads_ref, optimizer.init(params), params)
+    p_ref = optax.apply_updates(params,
+                                jax.tree.map(lambda u: -1e-3 * u, upd_ref))
+    mesh = make_mesh({"edge": 2})
+    dg = partition_graph(pg, 2, halo=True)
+    step = make_dist_train_step("focal", optimizer, mesh, dp_rate=0.0)
+    p2, _, loss = step(params, optimizer.init(params), dg,
+                       jax.random.PRNGKey(1), jnp.float32(1e-3))
+    assert np.isclose(float(loss), float(loss_ref), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(p2), jax.tree.leaves(p_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_dist_halo_archs_single_source():
+    """DIST_HALO_ARCHS must track DIST_MODELS (minus the comm-free control)
+    so a new distributed arch cannot silently lose halo."""
+    from lp_gnn_tpu.parallel.edge_partition import (DIST_MODELS,
+                                                    DIST_HALO_ARCHS)
+    assert DIST_HALO_ARCHS == frozenset(DIST_MODELS) - {"GCNRand"}
+    from lp_gnn_tpu.parallel.edge_partition import DIST_LOSSES
+    from lp_gnn_tpu.train.losses import LOSS_REGISTRY
+    assert set(DIST_LOSSES) == set(LOSS_REGISTRY)
+
+
 def test_dp_train_step_runs_and_improves(rng):
     graphs = [make_pg(np.random.RandomState(i), m=6, n=10, e=18)
               for i in range(8)]
@@ -300,6 +341,35 @@ def test_dist_inference_via_model_inference(rng):
     lc, lv = model_inference(model, params, g, edge_num_thresh=0, mesh=mesh)
     np.testing.assert_allclose(lc, lc_ref, atol=5e-4)
     np.testing.assert_allclose(lv, lv_ref, atol=5e-4)
+
+
+def test_inference_partition_cached_once(rng, monkeypatch):
+    """The inference drivers partition each oversize graph ONCE per dataset
+    pass (round-2 VERDICT: model_inference re-partitioned on every call,
+    charging O(D^2) host work to the reported inf_time)."""
+    from lp_gnn_tpu.infer import predict as P
+    from lp_gnn_tpu.parallel import edge_partition as EP
+    from tests.test_sampling import make_graph
+    g = make_graph(rng, m=40, n=70, e=300)
+    calls = {"n": 0}
+    orig = EP.partition_graph
+
+    def counted(*a, **k):
+        calls["n"] += 1
+        return orig(*a, **k)
+
+    monkeypatch.setattr(EP, "partition_graph", counted)
+    model = build_model("GCN_FC(8,8,hids=16,depth=3)")
+    params = model.init(jax.random.PRNGKey(0))
+    mesh = make_mesh({"edge": 4})
+    cache: dict = {}
+    lc1, lv1 = P.model_inference(model, params, g, edge_num_thresh=0,
+                                 mesh=mesh, dist_cache=cache)
+    lc2, lv2 = P.model_inference(model, params, g, edge_num_thresh=0,
+                                 mesh=mesh, dist_cache=cache)
+    assert calls["n"] == 1
+    np.testing.assert_array_equal(lc1, lc2)
+    np.testing.assert_array_equal(lv1, lv2)
 
 
 def test_dist_input_agg_cache_exact(rng):
@@ -387,6 +457,99 @@ def test_partition_batch_equalizes_shapes(rng):
     assert max(jax.tree.leaves(d)) > 0
 
 
+@pytest.mark.parametrize("arch,halo", [
+    ("GCN_FC(8,8,hids=16,depth=3)", True),
+    ("GCN_FC(8,8,hids=16,depth=3)", False),
+    ("GENDeeper(8,8,hids=16,depth=4)", True),
+])
+def test_dp_edge_step_matches_serial(rng, arch, halo):
+    """One combined dp x edge step (parallel/combined.py) on a 2x2 grid ==
+    one step on the serial mean loss over the same graphs — for the flagship
+    GCN_FC and a GEN arch (round-2 VERDICT: make_dp_edge_train_step
+    hard-coded dist_gcn_fc_apply)."""
+    import optax
+    from lp_gnn_tpu.parallel.combined import (partition_batch,
+                                              make_dp_edge_train_step)
+    from lp_gnn_tpu.train.losses import balanced as bal
+    graphs = [make_pg(np.random.RandomState(i), m=24, n=40, e=150)
+              for i in range(2)]
+    model = build_model(arch)
+    params = model.init(jax.random.PRNGKey(0))
+    optimizer = make_optimizer("sgd")
+
+    def serial_mean_loss(p):
+        tot = 0.0
+        for pg in graphs:
+            lc, lv = model.apply(p, pg, train=False)
+            ms, mt = seed_masks(pg)
+            tot = tot + bal(lc, lv, pg.y_s, pg.y_t, ms, mt)
+        return tot / len(graphs)
+
+    loss_ref, g_ref = jax.value_and_grad(serial_mean_loss)(params)
+    upd, _ = optimizer.update(g_ref, optimizer.init(params), params)
+    p_ref = optax.apply_updates(params,
+                                jax.tree.map(lambda u: -1e-3 * u, upd))
+
+    mesh = make_mesh({"dp": 2, "edge": 2})
+    batch = partition_batch(graphs, n_edge=2, halo=halo)
+    step = make_dp_edge_train_step("balanced", optimizer, mesh,
+                                   dp_rate=0.0, train=False,
+                                   arch=model.name)
+    p2, _, loss = step(params, optimizer.init(params), batch,
+                       jax.random.PRNGKey(1), jnp.float32(1e-3))
+    assert np.isclose(float(loss), float(loss_ref), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(p2), jax.tree.leaves(p_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_dp_edge_input_agg_cache_exact(rng):
+    """partition_batch(input_agg_mesh=...) must leave the combined step
+    bit-identical: the input conv's aggregation is a per-graph constant
+    (round-2 VERDICT: combined.py ignored the input-agg cache)."""
+    from jax.sharding import Mesh
+    from lp_gnn_tpu.parallel.combined import (partition_batch,
+                                              make_dp_edge_train_step)
+    graphs = [make_pg(np.random.RandomState(i), m=24, n=40, e=150)
+              for i in range(2)]
+    model = build_model("GCN_FC(8,8,hids=16,depth=3)")
+    params = model.init(jax.random.PRNGKey(0))
+    optimizer = make_optimizer("sgd")
+    mesh = make_mesh({"dp": 2, "edge": 2})
+    edge_mesh = Mesh(mesh.devices[0], ("edge",))
+    b0 = partition_batch(graphs, n_edge=2, halo=True)
+    b1 = partition_batch(graphs, n_edge=2, halo=True,
+                         input_agg_mesh=edge_mesh)
+    assert "in_agg_c" in b1 and "in_agg_c" not in b0
+    step = make_dp_edge_train_step("balanced", optimizer, mesh,
+                                   dp_rate=0.0, train=False)
+    p0, _, l0 = step(params, optimizer.init(params), b0,
+                     jax.random.PRNGKey(1), jnp.float32(1e-3))
+    p1, _, l1 = step(params, optimizer.init(params), b1,
+                     jax.random.PRNGKey(1), jnp.float32(1e-3))
+    np.testing.assert_array_equal(np.asarray(l0), np.asarray(l1))
+    for a, b in zip(jax.tree.leaves(p0), jax.tree.leaves(p1)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_partition_batch_mixed_real_sizes(rng):
+    """Same-bucket graphs with different REAL node counts must share one
+    per-shard block size (the batch max) so the stacked fields agree."""
+    from lp_gnn_tpu.parallel.combined import (partition_batch,
+                                              make_dp_edge_train_step)
+    graphs = [make_pg(np.random.RandomState(0), m=24, n=40, e=150),
+              make_pg(np.random.RandomState(1), m=30, n=52, e=150)]
+    assert graphs[0].bucket_key() == graphs[1].bucket_key()
+    batch = partition_batch(graphs, n_edge=2, halo=True)
+    mesh = make_mesh({"dp": 2, "edge": 2})
+    model = build_model("GCN_FC(8,8,hids=16,depth=3)")
+    params = model.init(jax.random.PRNGKey(0))
+    optimizer = make_optimizer("sgd")
+    step = make_dp_edge_train_step("balanced", optimizer, mesh, dp_rate=0.0)
+    _, _, loss = step(params, optimizer.init(params), batch,
+                      jax.random.PRNGKey(1), jnp.float32(1e-3))
+    assert np.isfinite(float(loss))
+
+
 def test_multihost_dryrun_two_processes(tmp_path):
     """Multi-host (DCN) scaffolding (SURVEY §5 comm-backend row): 2
     cooperating processes x 4 virtual CPU devices run one dp x edge train
@@ -421,6 +584,61 @@ def test_multihost_dryrun_two_processes(tmp_path):
     assert rep["ok"] and rep["distributed"]
     assert rep["num_processes"] == 2 and rep["global_devices"] == 8
     assert np.isfinite(rep["loss"])
+
+
+def test_multihost_run_exp_two_processes(tmp_path):
+    """Multi-host training through the PRODUCTION entry point (train.py):
+    2 cooperating processes x 4 virtual devices join via the LP_GNN_DIST_*
+    env contract (config.apply_platform_env -> maybe_init_distributed) and
+    train 2 epochs over a dp=2,edge=4 global mesh to a finite loss and one
+    checkpoint (round-2 VERDICT: no production entry point could join a
+    multi-host job)."""
+    import json
+    import os
+    import socket
+    import subprocess
+    import sys
+    from lp_gnn_tpu.solver.highs_bridge import HAVE_HIGHS
+    if not HAVE_HIGHS:
+        pytest.skip("no vendored highspy")
+    from lp_gnn_tpu.config import Config
+    from lp_gnn_tpu import pipeline
+    cfg = Config(exp_nm="t-mh", dataset="mirp_like",
+                 data_prefix=str(tmp_path / "lp-dataset"),
+                 log_prefix=str(tmp_path / "runs")).finalize(
+                     make_log_dir=False)
+    pipeline.stage_prep_data(cfg, family="mirp_like", n_instances=6,
+                             n_ports=4, n_periods=6)
+
+    with socket.socket() as s:   # free port for the coordinator
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    args = [sys.executable, os.path.join(repo, "train.py"),
+            "--dataset", "mirp_like",
+            "--data_prefix", str(tmp_path / "lp-dataset"),
+            "--log_prefix", str(tmp_path / "runs"), "--exp_nm", "t-mh",
+            "--arch", "GCN_FC(8,8,hids=16,depth=3)", "--epochs", "2",
+            "--loss", "balanced", "--mesh_shape", "dp=2,edge=4",
+            "--edge_num_thresh", "1"]
+    procs = []
+    for i in range(2):
+        env = dict(os.environ,
+                   LP_GNN_DIST_COORD=f"localhost:{port}",
+                   LP_GNN_DIST_NPROCS="2", LP_GNN_DIST_PROC_ID=str(i),
+                   LP_GNN_PLATFORM="cpu",
+                   XLA_FLAGS="--xla_force_host_platform_device_count=4")
+        procs.append(subprocess.Popen(args, env=env, cwd=repo,
+                                      stdout=subprocess.PIPE,
+                                      stderr=subprocess.STDOUT, text=True))
+    outs = [p.communicate(timeout=600)[0] for p in procs]
+    assert all(p.returncode == 0 for p in procs), outs
+    run_dir = tmp_path / "runs" / "t-mh"
+    assert (run_dir / "mdl.ckpt").exists()
+    losses = [json.loads(l)["value"]
+              for l in open(run_dir / "metrics.jsonl")
+              if json.loads(l)["tag"] == "train/loss"]
+    assert losses and np.isfinite(losses[-1])
 
 
 def test_pallas_halo_a2a_matches_xla(rng):
