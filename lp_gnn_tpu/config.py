@@ -45,6 +45,12 @@ def apply_platform_env() -> None:
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:   # older jax without the knobs
         pass
+    # multi-host: join the DCN job (LP_GNN_DIST_* env contract) before the
+    # first backend touch, so the production entry points — train.py,
+    # run_train_test.py, the predict/val drivers — are multi-host-capable,
+    # not only scripts/dryrun_multihost.py (SURVEY §5 comm-backend row).
+    from .parallel.mesh import maybe_init_distributed
+    maybe_init_distributed()
 
 
 @dataclasses.dataclass

@@ -30,10 +30,23 @@ def maybe_init_distributed() -> bool:
 
     Must run before the first JAX backend touch. After it returns True,
     ``jax.devices()`` lists every device in the job (local + remote over
-    DCN) and meshes built from it produce cross-host collectives."""
+    DCN) and meshes built from it produce cross-host collectives.
+
+    Called from ``config.apply_platform_env`` so every CLI entry point
+    (train.py, run_train_test.py, scripts/*) joins the job when the env
+    contract is set; idempotent within a process (re-entry is a no-op).
+
+    Data contract under multi-host: every process loads the same dataset
+    and computes identical host-side batches (same seed, same order);
+    numpy inputs to the jitted steps are the *global* values, and shard_map
+    in_specs split them so each process's devices consume their shards
+    (see scripts/dryrun_multihost.py for the launcher template)."""
     coord = os.environ.get("LP_GNN_DIST_COORD", "")
     if not coord:
         return False
+    from jax._src import distributed as _dist
+    if getattr(_dist.global_state, "client", None) is not None:
+        return True   # already connected (idempotent re-entry)
     jax.distributed.initialize(
         coordinator_address=coord,
         num_processes=int(os.environ["LP_GNN_DIST_NPROCS"]),
