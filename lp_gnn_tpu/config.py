@@ -187,8 +187,8 @@ def clean_str(s: str) -> str:
 #: dataset tokens recoverable from an exp name, longest-prefix-wins order
 #: (this framework's families + the reference's own list, utils.py:862-865).
 _DATASET_TRIES = (
-    "mirp_like-perm", "mirp_like", "miplib_like-perm", "miplib_like",
-    "transport-perm", "transport", "netflow-perm", "netflow",
+    "mirp_like-perm", "mirp_like", "mirp_bench", "miplib_like-perm",
+    "miplib_like", "transport-perm", "transport", "netflow-perm", "netflow",
     "packing-perm", "packing", "stoch-perm", "svm-perm", "svm",
     "small-perm", "medium-inv", "medium-perm", "medium", "mirp", "small",
     "libsvm_6", "miplib_8", "generated_15-10", "generated_15-1",

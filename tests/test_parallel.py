@@ -24,7 +24,11 @@ def test_parse_mesh_shape():
     assert parse_mesh_shape("") == {}
 
 
-@pytest.mark.parametrize("n_shards", [2, 4, 8])
+@pytest.mark.parametrize("n_shards", [
+    2,
+    pytest.param(4, marks=pytest.mark.slow),
+    pytest.param(8, marks=pytest.mark.slow),
+])
 def test_dist_forward_matches_single_chip(rng, n_shards):
     pg = make_pg(rng, m=24, n=40, e=150)
     model = build_model("GCN_FC(8,8,hids=16,depth=3)")
@@ -62,8 +66,8 @@ def test_dist_train_step_matches_single_chip(rng):
 
     loss_ref, grads_ref = jax.value_and_grad(single_loss)(params)
 
-    mesh = make_mesh({"edge": 4})
-    dg = partition_graph(pg, 4)
+    mesh = make_mesh({"edge": 2})
+    dg = partition_graph(pg, 2)
     step = make_dist_train_step("balanced", optimizer, mesh, dp_rate=0.0)
     p2, _, loss = step(params, opt_state, dg, jax.random.PRNGKey(1),
                        jnp.float32(1e-3))
@@ -76,7 +80,11 @@ def test_dist_train_step_matches_single_chip(rng):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
 
 
-@pytest.mark.parametrize("n_shards", [2, 4, 8])
+@pytest.mark.parametrize("n_shards", [
+    2,
+    pytest.param(4, marks=pytest.mark.slow),
+    pytest.param(8, marks=pytest.mark.slow),
+])
 def test_halo_forward_matches_all_gather(rng, n_shards):
     """partition_graph(halo=True) must reproduce both the single-chip and
     the all-gather-path logits: the compact halo buffer carries exactly the
@@ -103,7 +111,10 @@ def test_halo_forward_matches_all_gather(rng, n_shards):
                                atol=5e-5)
 
 
-@pytest.mark.parametrize("n_shards", [2, 8])
+@pytest.mark.parametrize("n_shards", [
+    2,
+    pytest.param(8, marks=pytest.mark.slow),
+])
 def test_halo_train_step_matches_single_chip(rng, n_shards):
     """One halo-exchange training step == the single-chip step: the
     halo_gather / halo_reduce custom VJPs are exact mutual transposes."""
@@ -155,6 +166,7 @@ def _banded_pg(rng, m=2048, n=4096, nnz_per_row=8, band=64):
     return pad_graph(g)
 
 
+@pytest.mark.slow
 def test_halo_wire_volume_small_on_banded_graph(rng):
     """On banded LP families the halo volume must be a small fraction of
     the full-width collectives: 2*D*Bh*F (halo) vs 2*N_pad*F (all-gather +
@@ -180,8 +192,10 @@ def test_halo_wire_volume_small_on_banded_graph(rng):
 
 @pytest.mark.parametrize("arch,halo", [
     ("GCN(8,8,hids=16)", True),
-    ("GCNDeeper(8,8,hids=16,depth=5)", True),
-    ("GENDeeper(8,8,hids=16,depth=4)", False),
+    pytest.param("GCNDeeper(8,8,hids=16,depth=5)", True,
+                 marks=pytest.mark.slow),
+    pytest.param("GENDeeper(8,8,hids=16,depth=4)", False,
+                 marks=pytest.mark.slow),
     ("GENDeeper(8,8,hids=16,depth=4)", True),
 ])
 def test_dist_forward_all_archs(rng, arch, halo):
@@ -194,8 +208,8 @@ def test_dist_forward_all_archs(rng, arch, halo):
     model = build_model(arch)
     params = model.init(jax.random.PRNGKey(0))
     lc_ref, lv_ref = model.apply(params, pg, train=False)
-    mesh = make_mesh({"edge": 4})
-    dg = partition_graph(pg, 4, halo=halo)
+    mesh = make_mesh({"edge": 2})
+    dg = partition_graph(pg, 2, halo=halo)
     lc, lv = dist_apply(params, dg, mesh, arch=model.name)
     m_pad, n_pad = pg.c_feas.shape[0], pg.v_feas.shape[0]
     np.testing.assert_allclose(np.asarray(lc)[:m_pad], np.asarray(lc_ref),
@@ -204,6 +218,7 @@ def test_dist_forward_all_archs(rng, arch, halo):
                                atol=5e-4)
 
 
+@pytest.mark.slow
 def test_dist_gen_train_step_matches_single_chip(rng):
     """One distributed GENDeeper step == the single-chip step: the
     cross-shard segment softmax (pmax of per-shard maxes, psum_scatter of
@@ -361,7 +376,7 @@ def test_inference_partition_cached_once(rng, monkeypatch):
     monkeypatch.setattr(EP, "partition_graph", counted)
     model = build_model("GCN_FC(8,8,hids=16,depth=3)")
     params = model.init(jax.random.PRNGKey(0))
-    mesh = make_mesh({"edge": 4})
+    mesh = make_mesh({"edge": 2})
     cache: dict = {}
     lc1, lv1 = P.model_inference(model, params, g, edge_num_thresh=0,
                                  mesh=mesh, dist_cache=cache)
@@ -372,6 +387,7 @@ def test_inference_partition_cached_once(rng, monkeypatch):
     np.testing.assert_array_equal(lv1, lv2)
 
 
+@pytest.mark.slow
 def test_dist_input_agg_cache_exact(rng):
     """attach_dist_input_agg must leave the distributed forward and one
     train step bit-identical (the input conv's aggregation is constant)."""
@@ -459,8 +475,10 @@ def test_partition_batch_equalizes_shapes(rng):
 
 @pytest.mark.parametrize("arch,halo", [
     ("GCN_FC(8,8,hids=16,depth=3)", True),
-    ("GCN_FC(8,8,hids=16,depth=3)", False),
-    ("GENDeeper(8,8,hids=16,depth=4)", True),
+    pytest.param("GCN_FC(8,8,hids=16,depth=3)", False,
+                 marks=pytest.mark.slow),
+    pytest.param("GENDeeper(8,8,hids=16,depth=4)", True,
+                 marks=pytest.mark.slow),
 ])
 def test_dp_edge_step_matches_serial(rng, arch, halo):
     """One combined dp x edge step (parallel/combined.py) on a 2x2 grid ==
@@ -550,6 +568,7 @@ def test_partition_batch_mixed_real_sizes(rng):
     assert np.isfinite(float(loss))
 
 
+@pytest.mark.slow
 def test_multihost_dryrun_two_processes(tmp_path):
     """Multi-host (DCN) scaffolding (SURVEY §5 comm-backend row): 2
     cooperating processes x 4 virtual CPU devices run one dp x edge train
@@ -586,6 +605,7 @@ def test_multihost_dryrun_two_processes(tmp_path):
     assert np.isfinite(rep["loss"])
 
 
+@pytest.mark.slow
 def test_multihost_run_exp_two_processes(tmp_path):
     """Multi-host training through the PRODUCTION entry point (train.py):
     2 cooperating processes x 4 virtual devices join via the LP_GNN_DIST_*
@@ -641,6 +661,7 @@ def test_multihost_run_exp_two_processes(tmp_path):
     assert losses and np.isfinite(losses[-1])
 
 
+@pytest.mark.slow
 def test_pallas_halo_a2a_matches_xla(rng):
     """LP_GNN_HALO=pallas routes the halo exchange through the inter-chip
     RDMA kernel (parallel/pallas_halo.py, interpret-emulated on the CPU

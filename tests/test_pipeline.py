@@ -291,8 +291,8 @@ def test_train_edge_partitioned(tiny_cfg):
     and still produces a usable checkpoint."""
     import dataclasses
     from lp_gnn_tpu.train.trainer import run_exp
-    cfg = dataclasses.replace(tiny_cfg, exp_nm="t-edge", epochs=2,
-                              mesh_shape="edge=4", edge_num_thresh=1.0)
+    cfg = dataclasses.replace(tiny_cfg, exp_nm="t-edge", epochs=1,
+                              mesh_shape="edge=2", edge_num_thresh=1.0)
     cfg.finalize()
     ckpt = run_exp(cfg)
     assert osp.exists(ckpt)
@@ -300,7 +300,8 @@ def test_train_edge_partitioned(tiny_cfg):
 
 @pytest.mark.parametrize("arch,exp", [
     ("GCN_FC(8,8,hids=32,depth=3)", "t-dpedge"),
-    ("GENDeeper(8,8,hids=16,depth=4)", "t-dpedge-gen"),
+    pytest.param("GENDeeper(8,8,hids=16,depth=4)", "t-dpedge-gen",
+                 marks=pytest.mark.slow),
 ])
 def test_train_dp_edge_combined(tiny_cfg, arch, exp):
     """--mesh_shape dp=2,edge=2 with a tiny edge_num_thresh routes the
@@ -311,7 +312,7 @@ def test_train_dp_edge_combined(tiny_cfg, arch, exp):
     CLI-reachable)."""
     import dataclasses
     from lp_gnn_tpu.train.trainer import run_exp
-    cfg = dataclasses.replace(tiny_cfg, exp_nm=exp, epochs=2, arch=arch,
+    cfg = dataclasses.replace(tiny_cfg, exp_nm=exp, epochs=1, arch=arch,
                               mesh_shape="dp=2,edge=2", edge_num_thresh=1.0)
     cfg.finalize()
     ckpt = run_exp(cfg)
@@ -334,7 +335,7 @@ def test_validation_with_edge_mesh_matches(tiny_cfg):
     ds = LPDataset(tiny_cfg.dataset_processed_prefix)
     _, val_ds = split_train_val(ds, tiny_cfg.seed)
     _, acc_ref = validation(model, params, val_ds, tiny_cfg)
-    cfg = dataclasses.replace(tiny_cfg, mesh_shape="edge=4",
+    cfg = dataclasses.replace(tiny_cfg, mesh_shape="edge=2",
                               edge_num_thresh=1.0)
     _, acc_dist = validation(model, params, val_ds, cfg)
     assert abs(acc_ref - acc_dist) < 1e-6
