@@ -230,3 +230,18 @@ def test_native_ft_update_long_solve_parity():
     warm = native.solve_lp_native(
         lp, method=1, basis_in=(res.col_status, res.row_status))
     assert warm.niter <= 2
+
+
+def test_dse_pricing_beats_devex_on_netflow(monkeypatch):
+    """Exact dual steepest-edge (the default; TPULP_PRICING=devex restores
+    the approximation) must reach the same optimum and price equality-heavy
+    netflow LPs in no more iterations than devex — the round-2 gap was
+    devex wandering ~2x on spanning-tree bases."""
+    lp = generate_instance("netflow", seed=3, instance=0)
+    monkeypatch.setenv("TPULP_PRICING", "devex")
+    rdx = native.solve_lp_native(lp, method=1)
+    monkeypatch.delenv("TPULP_PRICING")
+    rse = native.solve_lp_native(lp, method=1)
+    assert rdx.status == "Optimal" and rse.status == "Optimal"
+    assert np.isclose(rse.objective, rdx.objective, rtol=1e-6, atol=1e-6)
+    assert rse.niter <= rdx.niter
