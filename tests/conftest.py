@@ -13,6 +13,16 @@ import jax  # noqa: E402
 # The axon TPU plugin ignores JAX_PLATFORMS env; force CPU via config so tests
 # never touch the (single-client) TPU tunnel.
 jax.config.update("jax_platforms", "cpu")
+# Persistent compile cache: the suite's cost is dominated by CPU-mesh
+# shard_map compiles, which are identical across runs — repeat suite runs
+# (the per-change workflow) skip them entirely.
+try:
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.expanduser("~/.cache/lp_gnn_tpu_xla_tests"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:
+    pass
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
