@@ -120,11 +120,17 @@ def measure(device, pg, n_warmup=2, n_steps=5):
 
 
 def measure_baseline(device, pg, n_warmup=1, n_steps=2):
-    """Live re-measurement of the naive scatter-port baseline: fp32
-    ``segment_spmm`` (gather + XLA segment-sum), block layouts stripped so
-    the sorted-scatter path is what runs, no input-agg caching — the
-    implementation a direct translation of the reference's torch_sparse hot
-    loop (SURVEY.md §3.2) would land on."""
+    """Live measurement of the framework's own fp32 SORTED segment-sum
+    fallback (gather + ``jax.ops.segment_sum`` over the host-presorted dual
+    edge orderings; block layouts stripped, no input-agg caching).
+
+    NB this is a STRONGER baseline than the BASELINE_EDGES_S constant: that
+    constant was measured (round 1, on-chip) on a direct port of the
+    reference's torch_sparse pattern whose backward emits UNSORTED TPU
+    scatters — a path this framework never ships (the dual presorted
+    orderings are part of its design, CLAUDE.md conventions), so it can no
+    longer be measured in-tree. Expect vs_baseline ≈ 3-4x against this
+    measured fallback and ≈ 18x against the constant."""
     import dataclasses
     import jax
     import jax.numpy as jnp
@@ -149,10 +155,18 @@ def measure_baseline(device, pg, n_warmup=1, n_steps=2):
             params, opt_state, losses, _ = step(params, opt_state, pg_d,
                                                 rngs, lr)
         float(losses[-1])
-        t0 = time.time()
-        params, opt_state, losses, _ = step(params, opt_state, pg_d, rngs, lr)
-        float(losses[-1])
-        return (time.time() - t0) / n_steps
+        # best of 3, same methodology as the optimized path: the tunnel's
+        # first executions of a fresh program can be ~10x slow and its
+        # round-trip latency jitters tens of ms (RESULTS.md) — a single
+        # timed dispatch here once inflated the speedup ratio ~16x
+        best = np.inf
+        for _ in range(3):
+            t0 = time.time()
+            params, opt_state, losses, _ = step(params, opt_state, pg_d,
+                                                rngs, lr)
+            float(losses[-1])
+            best = min(best, time.time() - t0)
+        return best / n_steps
 
 
 def main():
