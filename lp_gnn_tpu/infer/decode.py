@@ -157,9 +157,26 @@ class InferenceManager:
         return f"gnn-sparsity-{self.mode}-{self.gnn_wei}-{self.run}"
 
 
-def parse_inference_manager(spec: str) -> InferenceManager:
+#: families whose demo/bench instances are short repair-prone solves where
+#: the top-m basis costs more than it saves; the sparsity-mult decode
+#: degrades gracefully toward the all-slack (cold-equivalent) basis there
+#: (RESULTS.md round-3 decode study: svm -142% -> 0.0%).
+MULT_DECODE_FAMILIES = ("svm", "stoch")
+
+
+def parse_inference_manager(spec: str,
+                            dataset: str | None = None) -> InferenceManager:
     """Safe parser for CLI strings like ``InferenceManager(0, run=0)``
-    (replaces reference ``eval(args.inference_manager)``, pred_basis.py:124)."""
+    (replaces reference ``eval(args.inference_manager)``, pred_basis.py:124).
+
+    ``"auto"`` selects the per-family default measured in the round-3
+    decode study: sparsity-mult for ``MULT_DECODE_FAMILIES``, top-m
+    otherwise (requires ``dataset``)."""
+    if spec.strip() == "auto":
+        fam = (dataset or "").split("-")[0].split("_")[0]
+        if fam in MULT_DECODE_FAMILIES:
+            return InferenceManager(2, mode="mult")
+        return InferenceManager(0)
     import ast
     tree = ast.parse(spec.strip(), mode="eval").body
     assert isinstance(tree, ast.Call) and tree.func.id == "InferenceManager", spec

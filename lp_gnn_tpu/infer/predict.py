@@ -149,7 +149,7 @@ def validation(model: Model, params, ds: LPDataset, cfg: Config,
         # folder from the configured inference manager, not a hard-coded name
         from .decode import parse_inference_manager
         basis_folder = parse_inference_manager(
-            cfg.inference_manager).get_basis_folder()
+            cfg.inference_manager, cfg.dataset).get_basis_folder()
     for i in range(len(ds)):
         g = ds[i]
         fn = g.fn

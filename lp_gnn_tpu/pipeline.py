@@ -202,7 +202,8 @@ def stage_train(cfg: Config) -> str:
 def stage_pred_basis(cfg: Config, ckpt_path: str | None = None) -> str:
     """Predict bases for the chosen split and write .bas files
     (reference scripts/pred_basis.py main)."""
-    inf_mng = parse_inference_manager(cfg.inference_manager)
+    inf_mng = parse_inference_manager(cfg.inference_manager,
+                                  cfg.dataset)
     out_dir = osp.join(cfg.log_dir, inf_mng.get_basis_folder())
     model = build_model(cfg.arch_with_dtype())
     src = ckpt_path or cfg.load_from
@@ -232,7 +233,8 @@ def stage_warm_start(cfg: Config) -> None:
     """Warm-start the solver from predicted bases for the val split
     (reference scripts/run_solver_from_basis.py)."""
     solve_mps = _solve_backend(cfg)
-    inf_mng = parse_inference_manager(cfg.inference_manager)
+    inf_mng = parse_inference_manager(cfg.inference_manager,
+                                  cfg.dataset)
     basis_folder = inf_mng.get_basis_folder()
     log_folder = inf_mng.get_log_folder()
     method = cfg.normalized_lp_method()

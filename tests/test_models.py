@@ -432,3 +432,17 @@ def test_build_model_rejects_unknown_options():
                  "GENDeeper(8,8,hids=16,depth=3,dtype='bfloat16')"]:
         m = build_model(arch)
         assert m.init is not None
+
+
+def test_inference_manager_auto_per_family():
+    """'auto' picks the per-family decode default measured in the round-3
+    study: sparsity-mult for repair-prone short-solve families (svm,
+    stoch), plain top-m otherwise."""
+    im = parse_inference_manager("auto", dataset="svm")
+    assert im.which_func == "inference_gnn_sparsity" and im.mode == "mult"
+    im = parse_inference_manager("auto", dataset="stoch-sc")
+    assert im.which_func == "inference_gnn_sparsity"
+    im = parse_inference_manager("auto", dataset="mirp_bench")
+    assert im.which_func == "inference_gnn"
+    im = parse_inference_manager("auto", dataset="packing")
+    assert im.which_func == "inference_gnn"
