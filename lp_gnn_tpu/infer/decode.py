@@ -173,7 +173,8 @@ def parse_inference_manager(spec: str,
     decode study: sparsity-mult for ``MULT_DECODE_FAMILIES``, top-m
     otherwise (requires ``dataset``)."""
     if spec.strip() == "auto":
-        fam = (dataset or "").split("-")[0].split("_")[0]
+        assert dataset, "'auto' inference manager needs the dataset name"
+        fam = dataset.split("-")[0].split("_")[0]
         if fam in MULT_DECODE_FAMILIES:
             return InferenceManager(2, mode="mult")
         return InferenceManager(0)

@@ -70,18 +70,28 @@ def _dist_partition(model: Model, g: BipartiteGraph, mesh,
     Partitioning (pad + boundary-set computation + block layouts) is pure
     host work and a per-graph constant; the drivers below pass one cache per
     dataset pass so each graph partitions ONCE, not on every forward
-    (reference pred_basis.py:158-176 defines inf_time as pure inference)."""
+    (reference pred_basis.py:158-176 defines inf_time as pure inference).
+
+    The cache holds only the MOST RECENT graph's partition: every driver
+    visits graphs sequentially (repeat calls are same-graph), and a
+    partition of an oversize graph is large — retaining one per graph for
+    a whole val split could exhaust host memory. The cached source graph
+    is kept alongside the partition and identity-checked, so an id() key
+    reused after garbage collection can never return a stale partition."""
     from ..parallel.edge_partition import (partition_graph, DIST_HALO_ARCHS)
     key = getattr(g, "fn", None) or id(g)
     if dist_cache is not None and key in dist_cache:
-        return dist_cache[key]
+        cached_g, dg = dist_cache[key]
+        if cached_g is g or getattr(g, "fn", None):
+            return dg
     # shard count = size of the 'edge' axis only (a 2-D dp x edge mesh
     # must not inflate the partition)
     n_shards = dict(zip(mesh.axis_names, mesh.devices.shape))["edge"]
     halo = model.name in DIST_HALO_ARCHS
     dg = partition_graph(pad_graph(g), n_shards, halo=halo)
     if dist_cache is not None:
-        dist_cache[key] = dg
+        dist_cache.clear()   # bound memory to one partition
+        dist_cache[key] = (g, dg)
     return dg
 
 

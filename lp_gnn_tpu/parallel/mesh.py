@@ -44,13 +44,17 @@ def maybe_init_distributed() -> bool:
     coord = os.environ.get("LP_GNN_DIST_COORD", "")
     if not coord:
         return False
-    from jax._src import distributed as _dist
-    if getattr(_dist.global_state, "client", None) is not None:
+    is_init = getattr(jax.distributed, "is_initialized", None)
+    if is_init is not None and is_init():
         return True   # already connected (idempotent re-entry)
-    jax.distributed.initialize(
-        coordinator_address=coord,
-        num_processes=int(os.environ["LP_GNN_DIST_NPROCS"]),
-        process_id=int(os.environ["LP_GNN_DIST_PROC_ID"]))
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coord,
+            num_processes=int(os.environ["LP_GNN_DIST_NPROCS"]),
+            process_id=int(os.environ["LP_GNN_DIST_PROC_ID"]))
+    except RuntimeError as e:   # double-init on jax without is_initialized
+        if "already initialized" not in str(e).lower():
+            raise
     return True
 
 

@@ -480,12 +480,14 @@ def run_exp(cfg: Config, dataset: LPDataset | None = None) -> str:
             graphs are never resampled). Returns (batches, covered_idxs)."""
             cache_key = ("dist_stacks", size)
             if cache_key not in padded_cache:
+                from jax.sharding import NamedSharding, PartitionSpec as P
                 from ..parallel.combined import partition_batch
                 by_bucket: dict = {}
                 for gi in range(n_train):
                     if train_ds[gi].nnz > cfg.edge_num_thresh:
-                        k = pad_graph(train_ds[gi]).bucket_key()
-                        by_bucket.setdefault(k, []).append(gi)
+                        pgi = pad_graph(train_ds[gi])
+                        by_bucket.setdefault(pgi.bucket_key(),
+                                             []).append((gi, pgi))
                 batches, covered = [], set()
                 # (multi-host keeps the agg off: the per-graph attach would
                 # yield edge-sharded global arrays that cannot host-stack)
@@ -495,14 +497,18 @@ def run_exp(cfg: Config, dataset: LPDataset | None = None) -> str:
                 for group in by_bucket.values():
                     while len(group) >= size:
                         chunk, group = group[:size], group[size:]
-                        b = partition_batch(
-                            [pad_graph(train_ds[i]) for i in chunk],
-                            edge_size, halo=dist_halo,
-                            input_agg_mesh=agg_mesh)
+                        b = partition_batch([pgi for _, pgi in chunk],
+                                            edge_size, halo=dist_halo,
+                                            input_agg_mesh=agg_mesh)
                         if n_procs == 1:
-                            b = jax.device_put(b)
+                            # grid-resident (matching the step's in_specs):
+                            # a plain device_put would commit to device 0
+                            # and re-shard the whole batch every step
+                            b = jax.device_put(
+                                b, NamedSharding(combined_mesh,
+                                                 P("dp", "edge")))
                         batches.append(b)
-                        covered.update(chunk)
+                        covered.update(gi for gi, _ in chunk)
                 padded_cache[cache_key] = (batches, covered)
             return padded_cache[cache_key]
 
@@ -518,13 +524,17 @@ def run_exp(cfg: Config, dataset: LPDataset | None = None) -> str:
                                                     jnp.float32(lr))
                 log_step(idx_graphs, float(loss), None)
                 return
-            if combined_step is not None or (n_procs > 1
-                                            and edge_mesh is not None):
+            grid = (combined_mesh if combined_step is not None else
+                    edge_mesh if (n_procs > 1 and edge_mesh is not None) else
+                    dp_mesh if (n_procs > 1 and dp_mesh is not None) else
+                    None)
+            if grid is not None:
                 # params live replicated on the device grid after a
                 # distributed step; place the graph there too so the plain
-                # jitted step shares the device set (global under multi-host)
+                # jitted step shares the device set (global under multi-host
+                # — including dp-only meshes, whose dp_step also commits
+                # params to the global device set)
                 from jax.sharding import NamedSharding, PartitionSpec
-                grid = combined_mesh if combined_step is not None else edge_mesh
                 pg = jax.device_put(pg, NamedSharding(grid, PartitionSpec()))
             params, opt_state, loss, acc = train_step(
                 params, opt_state, pg, sk, jnp.float32(lr))
