@@ -49,8 +49,18 @@ constexpr double PIVOT_TOL = 1e-8;
 constexpr double ZERO_TOL = 1e-12;
 // Forrest-Tomlin refresh policy: refactorize after this many updates, or
 // earlier when the accumulated row-eta fill outgrows the factor (see
-// need_refresh) or an update produces a too-small diagonal.
-constexpr int REFRESH = 400;
+// need_refresh) or an update produces a too-small diagonal. Every solve
+// pays an O(#ft_ops) eta pass, so the interval trades refactorize cost
+// against per-solve eta drag (swept: 100 / 200 / 400; see RESULTS.md).
+// TPULP_REFRESH overrides for tuning.
+static int refresh_interval() {
+  static int v = [] {
+    const char* e = std::getenv("TPULP_REFRESH");
+    int r = e ? atoi(e) : 200;
+    return r > 0 ? r : 200;
+  }();
+  return v;
+}
 
 enum Status { LL = 0, BASIC = 1, UL = 2, FZ = 3 };
 enum Result { OPTIMAL = 0, INFEASIBLE = 1, UNBOUNDED = 2, ITERLIMIT = 3,
@@ -103,12 +113,30 @@ struct Solver {
   // k. Urows mirrors U row-wise (off-diagonal only) for the update's row
   // elimination; it is only read by ft_update, never by solves.
   std::vector<std::vector<std::pair<int, double>>> Urows;  // (pos k later, val)
+  // Row mirror of L in position space for btran's scatter-form L^T pass:
+  // Lrows[p] = {(p' < p, f) : Lcols[p'] contains (pivrow[p], f)}. L is
+  // static between refactorizations (FT updates only append row etas), so
+  // this is built once per factorize.
+  std::vector<std::vector<std::pair<int, double>>> Lrows;
   std::vector<int> ordpos, onxt, oprv;
   int ohead = -1, otail = -1, ord_max = 0;
   std::vector<FtOp> ft_ops;
   int n_updates = 0;
   // scratch (avoids per-call allocation in the ftran/btran/update hot path)
   mutable std::vector<double> ft_z, bt_t, bt_out;
+  // hyper-sparse solve scratch: position heaps + membership marks. The
+  // measured dual loop feeds ftran/btran right-hand sides with only tens of
+  // nonzeros (entering columns, rho = e_r), so the solves process just the
+  // reachable positions via a heap in topological order instead of sweeping
+  // all m positions (division + pointer-chase per position). Dense right-
+  // hand sides (cost vectors in recompute_d/compute_xb) take the dense
+  // sweep via the support-count fallback.
+  mutable std::vector<int> hs_hp;                    // heap of positions
+  mutable std::vector<std::pair<int, int>> hs_ho;    // heap of (ordpos, pos)
+  mutable std::vector<char> hs_mark;                 // in-heap marks
+  mutable std::vector<char> hs_in;                   // support membership
+  mutable std::vector<int> hs_list;                  // support positions
+  static constexpr int HS_DIV = 8;   // sparse path iff |rhs| <= m / HS_DIV
   std::vector<double> upd_rv;         // row-elimination scatter values
   std::vector<char> upd_mark;
   // stats
@@ -290,6 +318,9 @@ struct Solver {
     Urows.assign(M, {});
     for (int k = 0; k < M; ++k)
       for (auto& e : Ucols[k]) Urows[e.first].push_back({k, e.second});
+    Lrows.assign(M, {});
+    for (int p = 0; p < M; ++p)
+      for (auto& e : Lcols[p]) Lrows[rowpos[e.first]].push_back({p, e.second});
     fact_time += ck.secs();
     return 0;
   }
@@ -313,6 +344,94 @@ struct Solver {
   // solve) — exactly what a Forrest-Tomlin update of this column needs.
   void ftran(std::vector<double>& v, std::vector<double>* spike = nullptr) const {
     const int M = m;
+    // collect the rhs support (original row ids -> positions); bail to the
+    // dense sweep when it is too large for the heap path to pay
+    hs_hp.clear();
+    for (int r = 0; r < M; ++r)
+      if (v[r] != 0.0) {
+        hs_hp.push_back(rowpos[r]);
+        if ((int)hs_hp.size() * HS_DIV > M) return ftran_dense(v, spike);
+      }
+    if ((int)hs_mark.size() != M) { hs_mark.assign(M, 0); hs_in.assign(M, 0); }
+    ft_z.assign(M, 0.0);
+    std::vector<double>& z = ft_z;
+    hs_list.clear();
+    // z = Lfull^{-1} rhs: min-position heap over reachable positions —
+    // Lcols[p] scatters only hit rows pivoted LATER, so processing nonzero
+    // positions in increasing order is a valid topological sweep
+    for (int p : hs_hp) hs_mark[p] = 1;
+    std::make_heap(hs_hp.begin(), hs_hp.end(), std::greater<int>());
+    while (!hs_hp.empty()) {
+      std::pop_heap(hs_hp.begin(), hs_hp.end(), std::greater<int>());
+      int p = hs_hp.back();
+      hs_hp.pop_back();
+      hs_mark[p] = 0;
+      double zp = v[pivrow[p]];
+      z[p] = zp;
+      hs_in[p] = 1;
+      hs_list.push_back(p);
+      if (zp != 0.0)
+        for (auto& e : Lcols[p]) {
+          v[e.first] -= zp * e.second;
+          int q = rowpos[e.first];
+          if (!hs_mark[q]) {
+            hs_mark[q] = 1;
+            hs_hp.push_back(q);
+            std::push_heap(hs_hp.begin(), hs_hp.end(), std::greater<int>());
+          }
+        }
+    }
+    // FT row etas in creation order; an op only fires off a nonzero z[k]
+    for (const auto& op : ft_ops) {
+      double zk = z[op.k];
+      if (zk == 0.0) continue;
+      if (!hs_in[op.r]) { hs_in[op.r] = 1; hs_list.push_back(op.r); }
+      z[op.r] -= op.f * zk;
+    }
+    if (spike) {
+      spike->assign(M, 0.0);
+      for (int p : hs_list) (*spike)[p] = z[p];
+    }
+    // U y = z: max-ordpos heap — Ucols[k] entries sit earlier in the
+    // elimination order, so popping the largest order key first is a valid
+    // reverse topological sweep over just the nonzero positions
+    hs_ho.clear();
+    for (int p : hs_list) { hs_ho.push_back({ordpos[p], p}); hs_mark[p] = 1; }
+    std::make_heap(hs_ho.begin(), hs_ho.end());
+    while (!hs_ho.empty()) {
+      std::pop_heap(hs_ho.begin(), hs_ho.end());
+      int k = hs_ho.back().second;
+      hs_ho.pop_back();
+      hs_mark[k] = 0;
+      double zk = z[k];
+      if (zk == 0.0) continue;
+      double yk = zk / Udiag[k];
+      z[k] = yk;
+      for (auto& e : Ucols[k]) {
+        z[e.first] -= e.second * yk;
+        int q = e.first;
+        if (!hs_mark[q]) {
+          hs_mark[q] = 1;
+          hs_ho.push_back({ordpos[q], q});
+          std::push_heap(hs_ho.begin(), hs_ho.end());
+          if (!hs_in[q]) { hs_in[q] = 1; hs_list.push_back(q); }
+        }
+      }
+    }
+    for (int p : hs_list) hs_in[p] = 0;
+#ifdef TPULP_STATS
+    static long long f_calls = 0, f_supp = 0;
+    f_supp += hs_list.size();
+    if (++f_calls % 20000 == 0)
+      fprintf(stderr, "[ftran] calls=%lld avg|supp|=%.0f (m=%d)\n", f_calls,
+              (double)f_supp / f_calls, M);
+#endif
+    std::swap(v, ft_z);   // hand the result buffer over; z becomes scratch
+  }
+
+  void ftran_dense(std::vector<double>& v,
+                   std::vector<double>* spike = nullptr) const {
+    const int M = m;
     // z = Lfull^{-1} rhs  (forward over pivot positions)
     ft_z.resize(M);
     std::vector<double>& z = ft_z;
@@ -326,38 +445,128 @@ struct Solver {
     for (const auto& op : ft_ops) z[op.r] -= op.f * z[op.k];
     if (spike) *spike = z;
     // U y = z  (backward over the elimination order; column entries of U
-    // always sit earlier in the order, so this is a valid topological sweep)
+    // always sit earlier in the order, so this is a valid topological
+    // sweep). Zero positions skip the division and the scatter outright.
     for (int k = otail; k >= 0; k = oprv[k]) {
-      double yk = z[k] / Udiag[k];
+      double zk = z[k];
+      if (zk == 0.0) continue;
+      double yk = zk / Udiag[k];
       z[k] = yk;
-      if (yk != 0.0)
-        for (auto& e : Ucols[k]) z[e.first] -= e.second * yk;
+      for (auto& e : Ucols[k]) z[e.first] -= e.second * yk;
     }
     v = z;
   }
 
   // solve B^T v = rhs in place (rhs indexed by basis position; result in
-  // original row ids)
+  // original row ids). Both triangular passes run in SCATTER form over the
+  // row mirrors (Urows / Lrows) with exact-zero skipping, so the work is
+  // proportional to the solution's nonzero structure — hyper-sparse for the
+  // per-pivot pricing solve rho = B^-T e_r — instead of a dense gather over
+  // every position (the former dominated the dual loop's profile).
   void btran(std::vector<double>& v) const {
     const int M = m;
-    // U^T t = v  (forward over the elimination order; uses U columns)
-    bt_t.resize(M);
+    // collect the rhs support (positions); dense fallback when large
+    hs_hp.clear();
+    for (int k = 0; k < M; ++k)
+      if (v[k] != 0.0) {
+        hs_hp.push_back(k);
+        if ((int)hs_hp.size() * HS_DIV > M) return btran_dense(v);
+      }
+    if ((int)hs_mark.size() != M) { hs_mark.assign(M, 0); hs_in.assign(M, 0); }
+    hs_list.clear();
+    std::vector<double>& t = v;   // solve in place
+    // U^T t = v: min-ordpos heap — Urows[k] scatters only hit positions
+    // later in the elimination order
+    hs_ho.clear();
+    for (int k : hs_hp) {
+      hs_ho.push_back({ordpos[k], k});
+      hs_mark[k] = 1;
+      hs_in[k] = 1;
+      hs_list.push_back(k);
+    }
+    std::make_heap(hs_ho.begin(), hs_ho.end(), std::greater<>());
+    while (!hs_ho.empty()) {
+      std::pop_heap(hs_ho.begin(), hs_ho.end(), std::greater<>());
+      int k = hs_ho.back().second;
+      hs_ho.pop_back();
+      hs_mark[k] = 0;
+      double s = t[k];
+      if (s == 0.0) continue;
+      double tk = s / Udiag[k];
+      t[k] = tk;
+      for (auto& e : Urows[k]) {
+        t[e.first] -= e.second * tk;
+        int q = e.first;
+        if (!hs_mark[q]) {
+          hs_mark[q] = 1;
+          hs_ho.push_back({ordpos[q], q});
+          std::push_heap(hs_ho.begin(), hs_ho.end(), std::greater<>());
+          if (!hs_in[q]) { hs_in[q] = 1; hs_list.push_back(q); }
+        }
+      }
+    }
+    // FT row etas transposed, reverse order; fires only off nonzero t[r]
+    for (auto it = ft_ops.rbegin(); it != ft_ops.rend(); ++it) {
+      double tr = t[it->r];
+      if (tr == 0.0) continue;
+      if (!hs_in[it->k]) { hs_in[it->k] = 1; hs_list.push_back(it->k); }
+      t[it->k] -= it->f * tr;
+    }
+    // Lfull^T out = t: max-position heap — Lrows[p] scatters only hit
+    // strictly earlier positions
+    hs_hp.clear();
+    for (int p : hs_list) { hs_hp.push_back(p); hs_mark[p] = 1; }
+    std::make_heap(hs_hp.begin(), hs_hp.end());
+    bt_out.assign(M, 0.0);
+    std::vector<double>& out = bt_out;
+    while (!hs_hp.empty()) {
+      std::pop_heap(hs_hp.begin(), hs_hp.end());
+      int p = hs_hp.back();
+      hs_hp.pop_back();
+      hs_mark[p] = 0;
+      double s = t[p];
+      if (s == 0.0) continue;
+      out[pivrow[p]] = s;
+      for (auto& e : Lrows[p]) {
+        t[e.first] -= e.second * s;
+        int q = e.first;
+        if (!hs_mark[q]) {
+          hs_mark[q] = 1;
+          hs_hp.push_back(q);
+          std::push_heap(hs_hp.begin(), hs_hp.end());
+          if (!hs_in[q]) { hs_in[q] = 1; hs_list.push_back(q); }
+        }
+      }
+    }
+    for (int p : hs_list) hs_in[p] = 0;
+    std::swap(v, bt_out);   // hand the result buffer over
+  }
+
+  void btran_dense(std::vector<double>& v) const {
+    const int M = m;
+    // U^T t = v  (forward over the elimination order): once t_k is fixed,
+    // push U[k][c]·t_k into each later accumulator via Urows[k]
+    bt_t = v;
     std::vector<double>& t = bt_t;
     for (int k = ohead; k >= 0; k = onxt[k]) {
-      double s = v[k];
-      for (auto& e : Ucols[k]) s -= e.second * t[e.first];
-      t[k] = s / Udiag[k];
+      double s = t[k];
+      if (s == 0.0) continue;
+      double tk = s / Udiag[k];
+      t[k] = tk;
+      for (auto& e : Urows[k]) t[e.first] -= e.second * tk;
     }
     // FT row etas transposed, reverse order
     for (auto it = ft_ops.rbegin(); it != ft_ops.rend(); ++it)
       t[it->k] -= it->f * t[it->r];
-    // Lfull^T out = t  (backward; uses L columns directly)
-    bt_out.assign(M, 0.0);
+    // Lfull^T out = t  (backward): s_p fixed at position p, scattered into
+    // the earlier positions whose L column hits pivot row p (Lrows[p])
+    bt_out.resize(M);
     std::vector<double>& out = bt_out;
     for (int p = M - 1; p >= 0; --p) {
       double s = t[p];
-      for (auto& e : Lcols[p]) s -= e.second * out[e.first];
       out[pivrow[p]] = s;
+      if (s != 0.0)
+        for (auto& e : Lrows[p]) t[e.first] -= e.second * s;
     }
     v = out;
   }
@@ -472,7 +681,8 @@ struct Solver {
   bool need_refresh() const {
     // refactorize when updates accumulate or the row-eta fill outgrows the
     // factor (apply cost of ft_ops then rivals a fresh solve)
-    return n_updates >= REFRESH || (long long)ft_ops.size() > 8LL * m;
+    return n_updates >= refresh_interval() ||
+           (long long)ft_ops.size() > 8LL * m;
   }
 
   // d_j = cost_j - y.W_j for one column
@@ -724,6 +934,13 @@ struct Solver {
     int stall = 0;
     bool bland = false;
     int res = OPTIMAL;
+    // per-iteration scratch hoisted out of the loop (the ratio-test heap
+    // and flip buffers otherwise reallocate every pivot)
+    struct Cand { double ratio, absa; int j; double range; };
+    std::vector<Cand> cands;
+    cands.reserve(256);
+    std::vector<int> flips;
+    std::vector<double> fw(m);
     for (;;) {
       if (niter >= max_iter) { res = ITERLIMIT; break; }
       // leaving: largest devex-weighted primal violation
@@ -746,6 +963,9 @@ struct Solver {
       std::fill(rho.begin(), rho.end(), 0.0);
       rho[rlv] = 1.0;
       btran(rho);
+#ifdef TPULP_STATS
+      static long long s_sup = 0, s_touch = 0, s_iters = 0, s_ops = 0;
+#endif
       support.clear();
       // exact-zero skip only: the hypersparsity win comes from entries the
       // sparse solve never touched (structural zeros). Dropping small-but-
@@ -774,9 +994,7 @@ struct Solver {
       // dual ratio test with bound flipping (BFRT): walk the eligible
       // breakpoints in ratio order; while the improvement slope stays
       // positive past a BOXED candidate, flip it instead of pivoting on it.
-      struct Cand { double ratio, absa; int j; double range; };
-      std::vector<Cand> cands;
-      cands.reserve(64);
+      cands.clear();
       for (int j : atouch) {
         int st = cstat[j];
         if (st == 0) continue;           // basic or fixed
@@ -790,9 +1008,16 @@ struct Solver {
         double ratio = std::fabs(ad[2 * (size_t)j + 1]) / std::fabs(aj);
         cands.push_back({ratio, std::fabs(aj), j, brange[j]});
       }
+#ifdef TPULP_STATS
+      s_sup += support.size(); s_touch += atouch.size(); s_ops += ft_ops.size();
+      if (++s_iters % 2000 == 0)
+        fprintf(stderr, "[stats] iter=%lld avg|rho|=%.0f avg|touch|=%.0f avg|ft_ops|=%.0f\n",
+                s_iters, (double)s_sup / s_iters, (double)s_touch / s_iters,
+                (double)s_ops / s_iters);
+#endif
       if (cands.empty()) { res = INFEASIBLE; break; }   // primal infeasible
       int q = -1;
-      std::vector<int> flips;
+      flips.clear();
       if (bland) {
         // minimum ratio, ties broken by minimum index (Bland)
         const Cand* pick = &cands[0];
@@ -852,7 +1077,7 @@ struct Solver {
       // apply bound flips: x of each flipped var jumps to its other bound;
       // basics absorb the combined column delta via one FTRAN
       if (!flips.empty()) {
-        std::vector<double> fw(m, 0.0);
+        std::fill(fw.begin(), fw.end(), 0.0);
         for (int j : flips) {
           double delta = (vstat[j] == LL) ? (hi[j] - lo[j]) : (lo[j] - hi[j]);
           vstat[j] = (vstat[j] == LL) ? UL : LL;
