@@ -144,6 +144,9 @@ struct Solver {
   int nrepair = 0;
   double fact_time = 0.0;
   long long max_iter = 0;
+  // refresh_interval() cached per solve: the magic-static guard is too hot
+  // for the per-pivot need_refresh() path (profiled at ~17% of wall)
+  int refresh = 200;
 
   void col_of(int j, std::vector<std::pair<int, double>>& out) const {
     out.clear();
@@ -681,8 +684,7 @@ struct Solver {
   bool need_refresh() const {
     // refactorize when updates accumulate or the row-eta fill outgrows the
     // factor (apply cost of ft_ops then rivals a fresh solve)
-    return n_updates >= refresh_interval() ||
-           (long long)ft_ops.size() > 8LL * m;
+    return n_updates >= refresh || (long long)ft_ops.size() > 8LL * m;
   }
 
   // d_j = cost_j - y.W_j for one column
@@ -1233,6 +1235,7 @@ int tpulp_solve(int m, int n, long long nnz,
   S.pos_in_basis.assign(S.N, -1);
   S.basic.resize(m);
   S.max_iter = max_iter > 0 ? max_iter : 200000 + 40LL * m;
+  S.refresh = refresh_interval();
 
   // initial basis
   if (have_basis_in) {

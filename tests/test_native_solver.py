@@ -216,7 +216,7 @@ def test_native_rejected_warm_basis_masked(tmp_path):
 
 def test_native_ft_update_long_solve_parity():
     """Forrest-Tomlin stress: a solve spanning several full update/refresh
-    cycles (niter >> REFRESH=400) must keep the factorization exact — the
+    cycles (niter >> the refresh interval, default 200) must keep the factorization exact — the
     objective matches the vendored-HiGHS oracle to full precision."""
     lp = generate_instance("mirp_like", seed=1, instance=0, n_ports=15,
                            n_periods=30, arc_density=0.4)
