@@ -136,6 +136,12 @@ struct Solver {
   mutable std::vector<char> hs_mark;                 // in-heap marks
   mutable std::vector<char> hs_in;                   // support membership
   mutable std::vector<int> hs_list;                  // support positions
+  // whether the LAST ftran/btran took the sparse path — then hs_list is a
+  // superset of the result's nonzero positions, letting the dual loop's
+  // consumers (rho support scan, DSE weight/primal updates) iterate the
+  // support instead of all m entries. Clobbered by the next solve call:
+  // consumers must read it immediately.
+  mutable bool last_sparse = false;
   static constexpr int HS_DIV = 8;   // sparse path iff |rhs| <= m / HS_DIV
   std::vector<double> upd_rv;         // row-elimination scatter values
   std::vector<char> upd_mark;
@@ -429,12 +435,14 @@ struct Solver {
       fprintf(stderr, "[ftran] calls=%lld avg|supp|=%.0f (m=%d)\n", f_calls,
               (double)f_supp / f_calls, M);
 #endif
+    last_sparse = true;
     std::swap(v, ft_z);   // hand the result buffer over; z becomes scratch
   }
 
   void ftran_dense(std::vector<double>& v,
                    std::vector<double>* spike = nullptr) const {
     const int M = m;
+    last_sparse = false;
     // z = Lfull^{-1} rhs  (forward over pivot positions)
     ft_z.resize(M);
     std::vector<double>& z = ft_z;
@@ -542,11 +550,13 @@ struct Solver {
       }
     }
     for (int p : hs_list) hs_in[p] = 0;
+    last_sparse = true;
     std::swap(v, bt_out);   // hand the result buffer over
   }
 
   void btran_dense(std::vector<double>& v) const {
     const int M = m;
+    last_sparse = false;
     // U^T t = v  (forward over the elimination order): once t_k is fixed,
     // push U[k][c]·t_k into each later accumulator via Urows[k]
     bt_t = v;
@@ -943,6 +953,8 @@ struct Solver {
     cands.reserve(256);
     std::vector<int> flips;
     std::vector<double> fw(m);
+    std::vector<int> wsupp;       // entering column w's nonzero positions
+    wsupp.reserve(256);
     for (;;) {
       if (niter >= max_iter) { res = ITERLIMIT; break; }
       // leaving: largest devex-weighted primal violation
@@ -974,8 +986,16 @@ struct Solver {
       // nonzero rho entries would silently exclude columns whose alpha is a
       // tiny-rho x large-A product from the ratio test and drift the
       // incrementally maintained reduced costs on badly scaled LPs.
-      for (int i = 0; i < m; ++i)
-        if (rho[i] != 0.0) support.push_back(i);
+      if (last_sparse) {
+        // sparse btran already knows the touched positions — walk those
+        for (int p : hs_list) {
+          int i = pivrow[p];
+          if (rho[i] != 0.0) support.push_back(i);
+        }
+      } else {
+        for (int i = 0; i < m; ++i)
+          if (rho[i] != 0.0) support.push_back(i);
+      }
       for (int j : atouch) amark[j] = 0;  // clear previous iteration's marks
       atouch.clear();
       for (int i : support) {
@@ -1069,6 +1089,15 @@ struct Solver {
       std::fill(w.begin(), w.end(), 0.0);
       for (auto& e2 : colbuf) w[e2.first] = e2.second;
       ftran(w, &spike);   // spike = H^-1 a_q feeds the FT update on pivot
+      // capture w's nonzero positions NOW (hs_list is clobbered by the next
+      // solve call, e.g. the flip FTRAN below) for the update loops
+      wsupp.clear();
+      if (last_sparse) {
+        wsupp.insert(wsupp.end(), hs_list.begin(), hs_list.end());
+      } else {
+        for (int k = 0; k < m; ++k)
+          if (w[k] != 0.0) wsupp.push_back(k);
+      }
       if (std::fabs(w[rlv]) < PIVOT_TOL) {
         if (factorize(false) != 0) { res = NUMFAIL; break; }
         compute_xb();
@@ -1089,7 +1118,11 @@ struct Solver {
           for (auto& e2 : colbuf) fw[e2.first] += e2.second * delta;
         }
         ftran(fw);
-        for (int k = 0; k < m; ++k) x[basic[k]] -= fw[k];
+        if (last_sparse) {
+          for (int k : hs_list) x[basic[k]] -= fw[k];
+        } else {
+          for (int k = 0; k < m; ++k) x[basic[k]] -= fw[k];
+        }
       }
       ++niter;
       int jl = basic[rlv];
@@ -1124,7 +1157,7 @@ struct Solver {
         for (int i : support) gr += rho[i] * rho[i];
         double wr = w[rlv];
         double wr2 = wr * wr;
-        for (int k = 0; k < m; ++k) {
+        for (int k : wsupp) {
           double wk = w[k];
           if (wk == 0.0) continue;
           // x_B' = x_B - t*w ; x_q' = x_q + t  solves  B x_B + a_q x_q const
@@ -1138,7 +1171,7 @@ struct Solver {
       } else {
         double wr2 = w[rlv] * w[rlv];
         double gr = gamma[rlv];
-        for (int k = 0; k < m; ++k) {
+        for (int k : wsupp) {
           double wk = w[k];
           if (wk == 0.0) continue;
           // x_B' = x_B - t*w ; x_q' = x_q + t  solves  B x_B + a_q x_q const
