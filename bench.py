@@ -37,6 +37,17 @@ Set ``BENCH_MEASURE_BASELINE=1`` to re-measure the naive scatter baseline
 live in the same run (fp32 ``segment_spmm`` path, block layouts stripped, no
 input-agg caching — the direct port) instead of using the recorded constant;
 the JSON line then reports ``baseline_source: "measured"``.
+
+Round-4 additions:
+- ``spread``: min/median/max edges/s over the 3 timed dispatches, so
+  cross-round deltas can be attributed to tunnel noise vs regression.
+- ``BENCH_ARCH`` / ``BENCH_DEPTH``: bench the non-flagship zoo members
+  (GCNDeeper / GENDeeper); their semantic traversal count is trace-counted
+  (count_traversals) and reported as ``traversals_per_edge``.
+- ``BENCH_STEP_ACC=1``: include the per-step decode accuracy in the step
+  (the pre-r04 measurement and the trainer's --step_acc 1). The default now
+  matches the trainer default: accuracy only on logged steps, i.e. not in
+  the steady-state step being timed.
 """
 import json
 import os
@@ -48,6 +59,13 @@ E = int(os.environ.get("BENCH_EDGES", 1_000_000))
 M = int(os.environ.get("BENCH_CONS", 65_536))
 N = int(os.environ.get("BENCH_VARS", 131_072))
 HIDS = int(os.environ.get("BENCH_HIDS", 256))
+# BENCH_ARCH selects the zoo member (GCN_FC default; GCNDeeper / GENDeeper
+# for the non-flagship archs, reference arch.py:245-289). Non-flagship runs
+# count their semantic traversals by tracing (count_traversals below) and
+# report an "arch" field; the flagship line stays byte-compatible across
+# rounds. BENCH_DEPTH defaults to the flagship's 3 / the deep stacks' 5.
+ARCH = os.environ.get("BENCH_ARCH", "GCN_FC")
+DEPTH = int(os.environ.get("BENCH_DEPTH", 3 if ARCH == "GCN_FC" else 5))
 SPMM_PER_EDGE = 6  # 2 convs x 2 directions fwd + hidden conv x 2 bwd
 # XLA scatter-add segment-sum path on the same chip/shape (the naive port):
 # 715 ms/step == 8.4M edge-traversals/s (see module docstring). Re-measured
@@ -78,6 +96,79 @@ def make_graph(seed=0):
     return pad_graph(g)
 
 
+def make_tiny_graph(seed=0, m=12, n=20, e=60):
+    """Tiny graph for trace-counting (shape-independent)."""
+    from lp_gnn_tpu.data.batching import pad_graph
+    from lp_gnn_tpu.data.dataset import BipartiteGraph
+    rng = np.random.RandomState(seed)
+    c_feas = (rng.rand(m, 8).astype(np.float32) - 0.5)
+    v_feas = (rng.rand(n, 8).astype(np.float32) - 0.5)
+    for fe in (c_feas, v_feas):
+        fe[:, -3] = rng.randint(-1, 2, fe.shape[0])
+        fe[:, -1] = rng.randint(-1, 2, fe.shape[0])
+    g = BipartiteGraph(row=rng.randint(0, m, e).astype(np.int32),
+                       col=rng.randint(0, n, e).astype(np.int32),
+                       val=(rng.rand(e).astype(np.float32) - 0.5),
+                       c_feas=c_feas, v_feas=v_feas,
+                       y_s=rng.randint(0, 3, m).astype(np.int32),
+                       y_t=rng.randint(0, 3, n).astype(np.int32))
+    return pad_graph(g)
+
+
+def count_traversals(model, pg):
+    """Trace-count the semantic edge traversals of one train step.
+
+    One traversal = one sparse aggregation pass over the edge list: a
+    blocked-SpMM direction (fwd or transpose bwd) for the GraphConv archs,
+    or a gather_src direction (fwd or transpose bwd) for the GEN softmax
+    aggregation (models/gen.py — the segment max/sum passes inside one GEN
+    aggregation are accounted to that single semantic traversal; the
+    roofline note in RESULTS.md itemizes the physical passes). Counting is
+    the traced truth, the same hook scheme as
+    tests/test_models.py::test_train_step_traversal_count."""
+    import jax
+    import jax.numpy as jnp
+    import lp_gnn_tpu.ops.spmm as spmm_mod
+    from lp_gnn_tpu.train.trainer import make_optimizer, make_train_step
+
+    counts = {"n": 0}
+    orig_call = spmm_mod._blocked_call
+    orig_spmm_bwd = spmm_mod._blocked_spmm_bwd
+    orig_gather_fwd, orig_gather_bwd = (spmm_mod._gather_src_fwd,
+                                        spmm_mod._gather_src_bwd)
+
+    def counted_call(pg_, x, side):
+        counts["n"] += 1
+        return orig_call(pg_, x, side)
+
+    def counted_spmm_bwd(num_blocks, res, g):
+        counts["n"] += 1
+        return orig_spmm_bwd(num_blocks, res, g)
+
+    def counted_gather_fwd(x, src_ids, t_seg, perm_to_t, num_src):
+        counts["n"] += 1
+        return orig_gather_fwd(x, src_ids, t_seg, perm_to_t, num_src)
+
+    def counted_gather_bwd(num_src, res, g):
+        counts["n"] += 1
+        return orig_gather_bwd(num_src, res, g)
+
+    spmm_mod._blocked_call = counted_call
+    spmm_mod.blocked_spmm.defvjp(spmm_mod._blocked_spmm_fwd, counted_spmm_bwd)
+    spmm_mod.gather_src.defvjp(counted_gather_fwd, counted_gather_bwd)
+    try:
+        params = model.init(jax.random.PRNGKey(0))
+        opt = make_optimizer("adam")
+        step = make_train_step(model, "balanced", opt)
+        step.lower(params, opt.init(params), pg, jax.random.PRNGKey(0),
+                   jnp.float32(1e-3))
+    finally:
+        spmm_mod._blocked_call = orig_call
+        spmm_mod.blocked_spmm.defvjp(spmm_mod._blocked_spmm_fwd, orig_spmm_bwd)
+        spmm_mod.gather_src.defvjp(orig_gather_fwd, orig_gather_bwd)
+    return counts["n"]
+
+
 def measure(device, pg, n_warmup=2, n_steps=5):
     import jax
     import jax.numpy as jnp
@@ -85,7 +176,8 @@ def measure(device, pg, n_warmup=2, n_steps=5):
     from lp_gnn_tpu.train.trainer import make_optimizer, make_scan_train_step
 
     dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
-    model = build_model(f"GCN_FC(8,8,hids={HIDS},depth=3,dtype='{dtype}')")
+    model = build_model(
+        f"{ARCH}(8,8,hids={HIDS},depth={DEPTH},dtype='{dtype}')")
     with jax.default_device(device):
         params = model.init(jax.random.PRNGKey(0))
         optimizer = make_optimizer("adam")
@@ -100,23 +192,30 @@ def measure(device, pg, n_warmup=2, n_steps=5):
             from lp_gnn_tpu.ops.spmm import attach_input_agg
             pg_d = attach_input_agg(pg_d, jnp.dtype(model.dtype))
         rngs = jax.random.split(jax.random.PRNGKey(0), n_steps)
+        # BENCH_STEP_ACC=1 restores the per-step decode accuracy (the
+        # trainer's --step_acc 1 / pre-r04 behavior); default matches the
+        # trainer default of computing it only on logged steps (none here)
+        acc_on = jnp.full((n_steps,),
+                          os.environ.get("BENCH_STEP_ACC", "0") == "1")
         lr = jnp.float32(1e-3)
         for i in range(n_warmup):
             params, opt_state, losses, _ = step(params, opt_state, pg_d,
-                                                rngs, lr)
+                                                rngs, lr, acc_on)
         float(losses[-1])   # host transfer = true sync (axon's
         # block_until_ready returns early on the tunnel transport)
-        # best of 3 measured dispatches: the tunnel's round-trip latency
-        # varies by tens of ms run to run, and min() is the standard way to
-        # strip scheduling noise from a fixed-work measurement
-        best = np.inf
+        # 3 measured dispatches: value uses min() (the standard way to strip
+        # scheduling noise from a fixed-work measurement on the jittery
+        # tunnel), and all three are returned so the JSON line can carry a
+        # "spread" field — without dispersion, cross-round deltas of a few %
+        # are indistinguishable from tunnel noise (VERDICT r03).
+        times = []
         for _ in range(3):
             t0 = time.time()
             params, opt_state, losses, _ = step(params, opt_state, pg_d,
-                                                rngs, lr)
+                                                rngs, lr, acc_on)
             float(losses[-1])
-            best = min(best, time.time() - t0)
-        return best / n_steps
+            times.append(time.time() - t0)
+        return [t / n_steps for t in times]
 
 
 def measure_baseline(device, pg, n_warmup=1, n_steps=2):
@@ -150,10 +249,12 @@ def measure_baseline(device, pg, n_warmup=1, n_steps=2):
                                     stacked=False)
         pg_d = jax.device_put(pg_naive, device)
         rngs = jax.random.split(jax.random.PRNGKey(0), n_steps)
+        acc_on = jnp.full((n_steps,),
+                          os.environ.get("BENCH_STEP_ACC", "0") == "1")
         lr = jnp.float32(1e-3)
         for _ in range(n_warmup):
             params, opt_state, losses, _ = step(params, opt_state, pg_d,
-                                                rngs, lr)
+                                                rngs, lr, acc_on)
         float(losses[-1])
         # best of 3, same methodology as the optimized path: the tunnel's
         # first executions of a fresh program can be ~10x slow and its
@@ -163,7 +264,7 @@ def measure_baseline(device, pg, n_warmup=1, n_steps=2):
         for _ in range(3):
             t0 = time.time()
             params, opt_state, losses, _ = step(params, opt_state, pg_d,
-                                                rngs, lr)
+                                                rngs, lr, acc_on)
             float(losses[-1])
             best = min(best, time.time() - t0)
         return best / n_steps
@@ -179,21 +280,49 @@ def main():
         pass
     pg = make_graph()
     dev = jax.devices()[0]
-    t_dev = measure(dev, pg)
-    value = E * SPMM_PER_EDGE / t_dev
+    per_edge = SPMM_PER_EDGE
+    if ARCH != "GCN_FC" or DEPTH != 3:
+        # non-flagship configs: semantic traversal count is the traced truth
+        # (count_traversals); traced on a tiny graph — the count is
+        # shape-independent — with the input-agg cache state matching the
+        # measured run.
+        from lp_gnn_tpu.models.gcn import build_model
+        from lp_gnn_tpu.data.batching import pad_graph
+        from lp_gnn_tpu.ops.spmm import attach_input_agg
+        import jax.numpy as jnp
+        tiny = make_tiny_graph()
+        model = build_model(f"{ARCH}(8,8,hids=16,depth={DEPTH})")
+        if os.environ.get("BENCH_CACHE_IN_AGG", "1") == "1":
+            tiny = attach_input_agg(tiny, jnp.dtype(model.dtype))
+        # the cached input conv contributes 2 semantic traversals the step
+        # no longer executes (module docstring: algorithmic work delivered)
+        cached = 2 if tiny.in_agg_c is not None and ARCH != "GENDeeper" else 0
+        per_edge = count_traversals(model, tiny) + cached
+    times = measure(dev, pg)
+    t_dev = min(times)
+    value = E * per_edge / t_dev
     baseline, baseline_source = SCATTER_BASELINE_EDGES_S, "constant"
     if os.environ.get("BENCH_MEASURE_BASELINE", "") == "1":
         t_base = measure_baseline(dev, pg)
         baseline = E * SPMM_PER_EDGE / t_base
         baseline_source = "measured"
-    print(json.dumps({
+    out = {
         "metric": "spmm_edge_traversals_per_s_per_chip",
         "value": round(value, 1),
         "unit": "edges/s",
         "vs_baseline": round(value / baseline, 3),
         "baseline_edges_s": round(baseline, 1),
         "baseline_source": baseline_source,
-    }))
+        # min/median/max over the 3 timed dispatches, in edges/s — lets
+        # cross-round comparisons separate tunnel noise from regression
+        "spread": {k: round(E * per_edge / t, 1) for k, t in
+                   zip(("min", "median", "max"),
+                       (max(times), sorted(times)[1], min(times)))},
+    }
+    if ARCH != "GCN_FC" or DEPTH != 3:
+        out["arch"] = f"{ARCH}(hids={HIDS},depth={DEPTH})"
+        out["traversals_per_edge"] = per_edge
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -83,6 +83,18 @@ class Config:
     engine: str = "highs"                  # highs (bridge) | native (C++ runtime)
     inference_manager: str = "InferenceManager(0,)"
     gW: float | None = None
+    warm_gate: str = "auto"                # warm-start payback gate:
+                                           # "auto" = calibrate on a few
+                                           # TRAIN-split LPs at predict time
+                                           # (decode -> warm solve -> compare
+                                           # vs cold logs) and DECLINE the
+                                           # val warm starts when the
+                                           # measured payback is <= 0, so no
+                                           # family regresses below cold
+                                           # (reference val.py:137-165 frames
+                                           # the sparsity decode as exactly
+                                           # such a fallback); "off" = always
+                                           # warm-start (pre-r04 behavior).
     # parallelism (new, TPU build)
     mesh_shape: str = ""                   # e.g. "dp=4" or "edge=8"
     graph_batch: int = 1                   # same-bucket graphs vmapped per step
@@ -99,6 +111,19 @@ class Config:
                                            # is slower than sequential steps —
                                            # measured 0.6x/graph at bench tier —
                                            # so >1 mainly serves CPU runs)
+    step_acc: int = 0                      # 1 = compute the per-step decode
+                                           # accuracy on EVERY step (reference
+                                           # train.py:132-137 semantics: the
+                                           # logged value averages the last 10
+                                           # consecutive steps). 0 (default) =
+                                           # compute it only on steps whose
+                                           # value is logged (every 9th,
+                                           # trainer log cadence) — the decode
+                                           # argsorts over all padded nodes
+                                           # are a real share of a bench-tier
+                                           # step; the logged metric is then
+                                           # smoothed over the last 10
+                                           # *logged* steps instead.
     eval_every: int = 0                    # epochs between val passes (0=off)
     trace: int = 0                         # capture an XLA profiler trace of
                                            # the first post-warmup train steps

@@ -38,7 +38,8 @@ from .solver.crash import bixby_crash_basis
 from .solver import native as native_solver
 from .train.trainer import load_ckpt, run_exp
 from .utils.misc import extract_fn, mkdir_p
-from .utils.serialize import df_dump, df_load, msgpack_dump
+from .utils.serialize import (df_dump, df_load, json_dump, json_load,
+                              msgpack_dump)
 
 
 def _mps_files(cfg: Config) -> list[str]:
@@ -199,6 +200,70 @@ def stage_train(cfg: Config) -> str:
 
 
 # ------------------------------------------------------------------ L5 stages
+def calibrate_warm_gate(model, params, train_ds, cfg: Config, inf_mng,
+                        k: int = 5) -> dict:
+    """Measure the warm start's payback on up to ``k`` TRAIN-split LPs.
+
+    The system-policy gate (VERDICT r03 item 2): decode each calibration
+    LP with the configured inference manager, warm-start the solver from
+    it, and compare iterations against the cold log the prep stage already
+    recorded. ``proceed`` is True only when the measured mean improvement
+    is positive — repair-dominated families (short cold solves where the
+    basis-repair fixed cost cannot pay, e.g. demo-tier svm/stoch,
+    RESULTS.md family table) measure negative here and the val warm starts
+    are declined, so no family regresses below its cold baseline.
+    Calibration uses only training data (no val leakage); note the model
+    has seen these LPs, so the estimate is optimistic — a family gated out
+    by its own training split is unambiguously negative.
+    """
+    from .infer.predict import model_inference, _nnzs_for_decode
+    solve_mps = _solve_backend(cfg)
+    method = cfg.normalized_lp_method()
+    sfx = cfg.get_method_sfx()
+    decode_fn, decode_kwargs = inf_mng.decode_fn(), inf_mng.decode_kwargs()
+    calib_bas_dir = osp.join(cfg.log_dir, "warm-gate-calib")
+    calib_log_dir = osp.join(cfg.log_dir, "log", "warm-gate-calib")
+    mkdir_p(calib_bas_dir), mkdir_p(calib_log_dir)
+    lps, imprs = [], []
+    for i in range(len(train_ds)):
+        if len(lps) >= k:
+            break
+        g = train_ds[i]
+        cold_log = (f"{cfg.dataset_prefix}/log/"
+                    f"{cfg.solver_prefix}no-bas{sfx}/{g.fn}.log")
+        if not osp.exists(cold_log):
+            continue
+        cold_niter, _ = extract_time(cold_log)
+        if cold_niter < 0:
+            continue
+        mps = f"{cfg.dataset_prefix}/mps/{g.fn}.mps"
+        if not osp.exists(mps) and osp.exists(mps + ".gz"):
+            mps = mps + ".gz"
+        lc, lv = model_inference(model, params, g, cfg.edge_num_thresh,
+                                 cfg.batch_size, cfg.arch_depth())
+        logits = np.concatenate([lc, lv]).astype(np.float32)
+        pred = decode_fn(logits, g.ncons,
+                         nnzs=_nnzs_for_decode(g, decode_fn),
+                         **decode_kwargs)
+        bas = osp.join(calib_bas_dir, f"{g.fn}.bas")
+        write_bas_highs(bas, vbas=pred[g.ncons:], cbas=pred[:g.ncons])
+        res = solve_mps(mps, method=method, basis_in_path=bas,
+                        log_path=osp.join(calib_log_dir, f"{g.fn}.log"))
+        warm = res.niter if res.niter >= 0 else cold_niter * 2  # failed warm
+        impr = (cold_niter - warm) / max(cold_niter, 1)
+        imprs.append(impr)
+        lps.append({"fn": g.fn, "cold_niter": int(cold_niter),
+                    "warm_niter": int(res.niter), "impr": float(impr)})
+    mean_impr = float(np.mean(imprs)) if imprs else 0.0
+    gate = {"proceed": bool(imprs) and mean_impr > 0.0,
+            "mean_impr": mean_impr, "k": len(lps), "lps": lps,
+            "decode": inf_mng.get_basis_folder()}
+    logging.info("warm gate: %s (mean train impr %+.1f%% over %d LPs)",
+                 "PROCEED" if gate["proceed"] else "DECLINE",
+                 100 * mean_impr, len(lps))
+    return gate
+
+
 def stage_pred_basis(cfg: Config, ckpt_path: str | None = None) -> str:
     """Predict bases for the chosen split and write .bas files
     (reference scripts/pred_basis.py main)."""
@@ -219,6 +284,9 @@ def stage_pred_basis(cfg: Config, ckpt_path: str | None = None) -> str:
     predict_and_write_bases(model, params, target, cfg, out_dir,
                             decode_fn=inf_mng.decode_fn(),
                             decode_kwargs=inf_mng.decode_kwargs())
+    if getattr(cfg, "warm_gate", "off") == "auto":
+        gate = calibrate_warm_gate(model, params, train_ds, cfg, inf_mng)
+        json_dump(gate, osp.join(cfg.log_dir, "warm_gate.json"))
     # timing pass (pred_basis.py:158-176)
     dump_info = osp.join(cfg.log_dir, "time.h5")
     if not osp.exists(dump_info):
@@ -253,6 +321,27 @@ def stage_warm_start(cfg: Config) -> None:
         if osp.isdir(ca) and not osp.exists(ca_alias):
             shutil.copytree(ca, ca_alias)
 
+    # warm-start payback gate (calibrated on the train split at predict
+    # time, calibrate_warm_gate): when it declined, the system solves the
+    # val LPs COLD — the predicted bases stay on disk, but the solver is
+    # never started from a basis measured to cost more than it saves
+    gated_off = False
+    if getattr(cfg, "warm_gate", "off") == "auto":
+        gate_path = osp.join(cfg.log_dir, "warm_gate.json")
+        if osp.exists(gate_path):
+            gate = json_load(gate_path)
+            gated_off = not gate.get("proceed", True)
+            if gated_off:
+                logging.warning(
+                    "warm gate DECLINED (mean train impr %+.1f%% over %d "
+                    "LPs) — val split solves cold; rerun with "
+                    "--warm_gate off to force the warm starts",
+                    100 * gate.get("mean_impr", 0.0), gate.get("k", 0))
+        else:
+            logging.warning("warm_gate auto but no warm_gate.json under %s "
+                            "(predict stage not run?) — warm starts proceed",
+                            cfg.log_dir)
+
     dump_info = osp.join(cfg.log_dir, "time.h5")
     ds = LPDataset(cfg.dataset_processed_prefix)
     ds.dump_size_info(dump_info)
@@ -271,9 +360,12 @@ def stage_warm_start(cfg: Config) -> None:
             continue
         out_bas = f"{cfg.log_dir}/opt-from-{basis_folder}/{nm}.bas"
         log = f"{cfg.log_dir}/log/{log_folder}/{nm}.log"
-        res = solve_mps(mps, method=method, basis_in_path=bas,
+        res = solve_mps(mps, method=method,
+                        basis_in_path=None if gated_off else bas,
                         basis_out_path=out_bas, log_path=log)
-        logging.info("warm %s: %s %d iters", nm, res.status, res.niter)
+        logging.info("%s %s: %s %d iters",
+                     "cold (gated)" if gated_off else "warm",
+                     nm, res.status, res.niter)
 
 
 # ------------------------------------------------------------------ L7 stages

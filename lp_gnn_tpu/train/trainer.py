@@ -67,7 +67,20 @@ def seed_masks(pg: PaddedGraph):
     return mi & pg.cons_mask, mj & pg.vars_mask
 
 
-def make_train_step(model: Model, loss_name: str, optimizer):
+def _step_accuracy(pg, lc, lv, ms, mt):
+    """On-device seed decode accuracy — the same top-m decode the reference
+    computes per step (train.py:132-137). Costs two argsorts over all padded
+    nodes (decode.py), which at bench tier is a real share of the step — so
+    callers gate it to the steps whose value is actually read (--step_acc)."""
+    pc, pv = decode_topm_device(lc, lv, ms, mt, jnp.sum(ms))
+    correct = jnp.sum((pc == pg.y_s) & ms) + jnp.sum((pv == pg.y_t) & mt)
+    return correct / jnp.maximum(jnp.sum(ms) + jnp.sum(mt), 1)
+
+
+def make_train_step(model: Model, loss_name: str, optimizer,
+                    with_acc: bool = True):
+    """``with_acc=False`` skips the per-step decode accuracy (returns -1.0);
+    the trainer uses it for the steps whose accuracy is never logged."""
     loss_fn = LOSS_REGISTRY[loss_name]
 
     def compute_loss(params, pg, rng):
@@ -83,11 +96,8 @@ def make_train_step(model: Model, loss_name: str, optimizer):
         updates, opt_state = optimizer.update(grads, opt_state, params)
         updates = jax.tree.map(lambda u: -lr * u, updates)
         params = optax.apply_updates(params, updates)
-        # on-device seed accuracy via the same top-m decode the reference uses
-        # per step (train.py:132-137)
-        pc, pv = decode_topm_device(lc, lv, ms, mt, jnp.sum(ms))
-        correct = jnp.sum((pc == pg.y_s) & ms) + jnp.sum((pv == pg.y_t) & mt)
-        acc = correct / jnp.maximum(jnp.sum(ms) + jnp.sum(mt), 1)
+        acc = (_step_accuracy(pg, lc, lv, ms, mt) if with_acc
+               else jnp.float32(-1.0))
         return params, opt_state, loss, acc
 
     return train_step
@@ -107,8 +117,10 @@ def make_scan_train_step(model: Model, loss_name: str, optimizer,
     stacked=False: ``pgs`` is a single PaddedGraph reused for all K steps
     (bench.py's repeated-step measurement).
 
-    Returns step(params, opt_state, pgs, rngs(K,), lr)
-    -> (params, opt_state, losses (K,), accs (K,)).
+    Returns step(params, opt_state, pgs, rngs(K,), lr, acc_on=None)
+    -> (params, opt_state, losses (K,), accs (K,)). ``acc_on`` is an
+    optional (K,) bool vector selecting which steps compute the decode
+    accuracy (skipped steps report -1.0; ``None`` = all — see --step_acc).
     """
     loss_fn = LOSS_REGISTRY[loss_name]
 
@@ -119,21 +131,24 @@ def make_scan_train_step(model: Model, loss_name: str, optimizer,
         return loss, (lc, lv, ms, mt)
 
     @partial(jax.jit, donate_argnums=(0, 1))
-    def scan_step(params, opt_state, pgs, rngs, lr):
+    def scan_step(params, opt_state, pgs, rngs, lr, acc_on=None):
+        acc_vec = (jnp.ones(rngs.shape[0], bool) if acc_on is None
+                   else acc_on)
+
         def body(carry, xs):
             params, opt_state = carry
-            pg, rng = xs if stacked else (pgs, xs)
+            (pg, rng, want_acc) = xs if stacked else (pgs, *xs)
             (loss, (lc, lv, ms, mt)), grads = jax.value_and_grad(
                 compute_loss, has_aux=True)(params, pg, rng)
             updates, opt_state = optimizer.update(grads, opt_state, params)
             updates = jax.tree.map(lambda u: -lr * u, updates)
             params = optax.apply_updates(params, updates)
-            pc, pv = decode_topm_device(lc, lv, ms, mt, jnp.sum(ms))
-            correct = jnp.sum((pc == pg.y_s) & ms) + jnp.sum((pv == pg.y_t) & mt)
-            acc = correct / jnp.maximum(jnp.sum(ms) + jnp.sum(mt), 1)
+            acc = jax.lax.cond(want_acc,
+                               lambda: _step_accuracy(pg, lc, lv, ms, mt),
+                               lambda: jnp.float32(-1.0))
             return (params, opt_state), (loss, acc)
 
-        xs = (pgs, rngs) if stacked else rngs
+        xs = (pgs, rngs, acc_vec) if stacked else (rngs, acc_vec)
         (params, opt_state), (losses, accs) = jax.lax.scan(
             body, (params, opt_state), xs)
         return params, opt_state, losses, accs
@@ -264,6 +279,13 @@ def run_exp(cfg: Config, dataset: LPDataset | None = None) -> str:
                 logging.warning("opt state in ckpt incompatible; fresh optimizer")
         logging.info("resumed from %s at epoch %d", cfg.load_from, start_epoch)
     train_step = make_train_step(model, cfg.loss, optimizer)
+    # --step_acc 0 (default): the decode-accuracy argsorts run only on the
+    # steps whose value reaches the log (every 9th); other steps use the
+    # accuracy-free jit variant of the same update (bit-identical params).
+    step_acc_always = bool(getattr(cfg, "step_acc", 0))
+    train_step_noacc = (train_step if step_acc_always else
+                        make_train_step(model, cfg.loss, optimizer,
+                                        with_acc=False))
 
     # Distribution axes (--mesh_shape "dp=K,edge=M", SURVEY §2.3):
     #   edge=M : oversize graphs (> edge_num_thresh) train edge-partitioned
@@ -536,9 +558,12 @@ def run_exp(cfg: Config, dataset: LPDataset | None = None) -> str:
                 # params to the global device set)
                 from jax.sharding import NamedSharding, PartitionSpec
                 pg = jax.device_put(pg, NamedSharding(grid, PartitionSpec()))
-            params, opt_state, loss, acc = train_step(
+            want_acc = step_acc_always or glstep % 9 == 1
+            params, opt_state, loss, acc = (
+                train_step if want_acc else train_step_noacc)(
                 params, opt_state, pg, sk, jnp.float32(lr))
-            log_step(idx_graphs, float(loss), float(acc))
+            acc = float(acc)
+            log_step(idx_graphs, float(loss), acc if acc >= 0 else None)
 
         def run_singles_and_sampled(singles, sampled_idxs):
             for pg in singles:
@@ -577,12 +602,16 @@ def run_exp(cfg: Config, dataset: LPDataset | None = None) -> str:
             for bi in rng_np.permutation(len(batches)):
                 key, sk = jax.random.split(key)
                 sks = jax.random.split(sk, scan_k)
+                acc_on = (np.ones(scan_k, bool) if step_acc_always else
+                          np.array([(glstep + i + 1) % 9 == 1
+                                    for i in range(scan_k)]))
                 params, opt_state, losses, accs = scan_step(
                     params, opt_state, batches[int(bi)], sks,
-                    jnp.float32(lr))
+                    jnp.float32(lr), jnp.asarray(acc_on))
                 for lv_, av_ in zip(np.asarray(losses), np.asarray(accs)):
                     glstep += 1
-                    log_step(0, float(lv_), float(av_))
+                    log_step(0, float(lv_),
+                             float(av_) if av_ >= 0 else None)
             run_singles_and_sampled(singles, sampled_idxs)
         else:
             for idx_graphs, gi in enumerate(order):

@@ -121,6 +121,36 @@ def test_control_baselines(tiny_cfg):
     assert iters >= 0 and tm is not None
 
 
+def test_warm_gate_declines_nonpaying(tiny_cfg):
+    """--warm_gate auto: the all-slack decode measures zero payback on the
+    train calibration LPs (an all-slack warm start IS the cold start with
+    presolve off), so the gate must DECLINE and the val 'warm' logs must
+    record exactly the cold iteration counts — no family can regress."""
+    import dataclasses
+    from lp_gnn_tpu import pipeline as pl
+    from lp_gnn_tpu.reporting.extract import extract_time
+    from lp_gnn_tpu.utils.serialize import json_load
+
+    cfg = dataclasses.replace(
+        tiny_cfg, arch="GCNRand()", exp_nm="t-gate", warm_gate="auto",
+        inference_manager="InferenceManager(1, run=2)", load_from="None")
+    cfg.finalize()
+    pl.stage_pred_basis(cfg)
+    gate = json_load(osp.join(cfg.log_dir, "warm_gate.json"))
+    assert gate["proceed"] is False and gate["k"] > 0
+    assert all(lp["impr"] <= 0 for lp in gate["lps"])
+    pl.stage_warm_start(cfg)
+    import glob
+    logs = sorted(glob.glob(f"{cfg.log_dir}/log/all-slacks-bas-2/*.log"))
+    assert len(logs) == 3
+    for log in logs:
+        nm = osp.basename(log)[:-4]
+        cold_log = f"{cfg.dataset_prefix}/log/highs-no-bas/{nm}.log"
+        warm_iters, _ = extract_time(log)
+        cold_iters, _ = extract_time(cold_log)
+        assert warm_iters == cold_iters  # gated => cold solve, impr == 0
+
+
 def test_pred_basis_from_torch_checkpoint(tiny_cfg):
     """The reference-user migration path (SURVEY §7 step 5): point
     --load_from at a torch mdl.pth state_dict and run predict -> warm start
@@ -268,6 +298,46 @@ def test_scan_step_matches_sequential():
     np.testing.assert_allclose(np.asarray(losses1), l_seq1, rtol=1e-5)
     for a, b in zip(jax.tree.leaves(p_scan1), jax.tree.leaves(p_seq1)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_step_acc_gating_bit_identical():
+    """--step_acc 0 (default): the accuracy-free step variant and the
+    acc_on scan flags must yield bit-identical params/losses, with skipped
+    steps reporting acc == -1 (the sentinel the trainer logs as None)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from lp_gnn_tpu.models.gcn import build_model
+    from lp_gnn_tpu.train.trainer import (make_optimizer, make_train_step,
+                                          make_scan_train_step)
+    from tests.test_models import make_pg
+
+    model = build_model("GCN_FC(8,8,hids=16,depth=3)")
+    opt = make_optimizer("adam")
+    pg = jax.tree.map(np.asarray,
+                      make_pg(np.random.RandomState(0), m=12, n=20, e=60))
+    rng = jax.random.PRNGKey(7)
+    lr = jnp.float32(1e-3)
+
+    step_acc = make_train_step(model, "balanced", opt)
+    step_noacc = make_train_step(model, "balanced", opt, with_acc=False)
+    p0 = model.init(jax.random.PRNGKey(0))
+    pa, _, la, aa = step_acc(p0, opt.init(p0), pg, rng, lr)
+    p0 = model.init(jax.random.PRNGKey(0))
+    pb, _, lb, ab = step_noacc(p0, opt.init(p0), pg, rng, lr)
+    assert float(aa) >= 0 and float(ab) == -1.0
+    np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+    for a, b in zip(jax.tree.leaves(pa), jax.tree.leaves(pb)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # scan path: acc computed exactly where acc_on is True
+    scan = make_scan_train_step(model, "balanced", opt, stacked=False)
+    rngs = jax.random.split(rng, 3)
+    p0 = model.init(jax.random.PRNGKey(0))
+    _, _, _, accs = scan(p0, opt.init(p0), pg, rngs, lr,
+                         jnp.array([True, False, True]))
+    accs = np.asarray(accs)
+    assert accs[0] >= 0 and accs[2] >= 0 and accs[1] == -1.0
 
 
 def test_train_dp_with_sampled_graphs(tiny_cfg):
