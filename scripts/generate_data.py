@@ -23,6 +23,17 @@ SIZES = {
         "demo": dict(n_ports=15, n_periods=30, arc_density=0.4),
         "bench": dict(n_ports=30, n_periods=60, arc_density=0.3),
     },
+    "mirp_mix": {
+        # hardness-mixed family (VERDICT r03 item 1): per-instance draws of
+        # ports/periods/density/tightness — ranges ARE the size knobs
+        "small": dict(n_ports_range=(3, 6), n_periods_range=(4, 10),
+                      arc_density_range=(0.4, 0.6),
+                      tightness_range=(0.8, 1.2)),
+        "demo": dict(n_ports_range=(10, 20), n_periods_range=(15, 45),
+                     arc_density_range=(0.3, 0.5),
+                     tightness_range=(0.8, 1.2)),
+        "bench": dict(),   # generator defaults: the reference-population mix
+    },
     "transport": {
         "small": dict(m_src=6, n_dst=9),
         "demo": dict(m_src=40, n_dst=60),
