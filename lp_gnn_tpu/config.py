@@ -98,6 +98,12 @@ class Config:
     # parallelism (new, TPU build)
     mesh_shape: str = ""                   # e.g. "dp=4" or "edge=8"
     graph_batch: int = 1                   # same-bucket graphs vmapped per step
+    part_cache: int = 1                    # persist edge partitions beside
+                                           # processed/*.pk (partitions/ dir)
+                                           # so training epoch 0 and every
+                                           # inference pass reload instead of
+                                           # recomputing (~16 s host work per
+                                           # 10M-edge graph, bench_partition)
     cache_in_agg: int = 1                  # precompute input-conv aggregation
                                            # per graph (exact; see
                                            # ops/spmm.py attach_input_agg)

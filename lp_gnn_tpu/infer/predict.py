@@ -63,8 +63,18 @@ def _uses_dist_path(model: Model, g: BipartiteGraph, edge_num_thresh, mesh):
             "edge" in mesh.axis_names and model.name in DIST_MODELS)
 
 
+def part_cache_dir(cfg) -> str | None:
+    """Directory of the on-disk partition cache (--part_cache), beside the
+    dataset's processed/ blobs — None when disabled or no dataset dir."""
+    if getattr(cfg, "part_cache", 1) and \
+            getattr(cfg, "dataset_processed_prefix", ""):
+        return osp.join(cfg.dataset_processed_prefix, "partitions")
+    return None
+
+
 def _dist_partition(model: Model, g: BipartiteGraph, mesh,
-                    dist_cache: dict | None = None):
+                    dist_cache: dict | None = None,
+                    cache_dir: str | None = None):
     """Host-side edge partition of one oversize graph, cached per graph.
 
     Partitioning (pad + boundary-set computation + block layouts) is pure
@@ -78,7 +88,8 @@ def _dist_partition(model: Model, g: BipartiteGraph, mesh,
     a whole val split could exhaust host memory. The cached source graph
     is kept alongside the partition and identity-checked, so an id() key
     reused after garbage collection can never return a stale partition."""
-    from ..parallel.edge_partition import (partition_graph, DIST_HALO_ARCHS)
+    from ..parallel.edge_partition import (cached_partition_graph,
+                                           DIST_HALO_ARCHS)
     key = getattr(g, "fn", None) or id(g)
     if dist_cache is not None and key in dist_cache:
         cached_g, dg = dist_cache[key]
@@ -88,7 +99,9 @@ def _dist_partition(model: Model, g: BipartiteGraph, mesh,
     # must not inflate the partition)
     n_shards = dict(zip(mesh.axis_names, mesh.devices.shape))["edge"]
     halo = model.name in DIST_HALO_ARCHS
-    dg = partition_graph(pad_graph(g), n_shards, halo=halo)
+    dg = cached_partition_graph(pad_graph(g), n_shards, halo=halo,
+                                cache_dir=cache_dir,
+                                fn=getattr(g, "fn", None))
     if dist_cache is not None:
         dist_cache.clear()   # bound memory to one partition
         dist_cache[key] = (g, dg)
@@ -98,7 +111,8 @@ def _dist_partition(model: Model, g: BipartiteGraph, mesh,
 def model_inference(model: Model, params, g: BipartiteGraph,
                     edge_num_thresh: float = np.inf,
                     batch_size: int = 10240 * 32, depth: int | None = None,
-                    rng=None, mesh=None, dist_cache: dict | None = None):
+                    rng=None, mesh=None, dist_cache: dict | None = None,
+                    part_dir: str | None = None):
     """Exact logits for every node of one graph (reference val.py:12-41).
 
     Small graphs: one padded full-graph forward. Oversize graphs: exact
@@ -113,7 +127,7 @@ def model_inference(model: Model, params, g: BipartiteGraph,
     """
     if _uses_dist_path(model, g, edge_num_thresh, mesh):
         from ..parallel.edge_partition import dist_apply
-        dg = _dist_partition(model, g, mesh, dist_cache)
+        dg = _dist_partition(model, g, mesh, dist_cache, cache_dir=part_dir)
         lc, lv = dist_apply(params, dg, mesh, arch=model.name)
         return (np.asarray(lc)[: g.ncons], np.asarray(lv)[: g.nvars])
     if g.nnz <= edge_num_thresh:
@@ -151,6 +165,7 @@ def validation(model: Model, params, ds: LPDataset, cfg: Config,
     df = df_load(dump_info) if dump_info and osp.exists(dump_info) else None
     mesh = mesh_from_cfg(cfg)
     dist_cache: dict = {}
+    part_dir = part_cache_dir(cfg)
     avg_acc, n_eval = 0.0, 0
     prefix = "cvg/" if wrt_converged else ""
     if wrt_converged:
@@ -165,7 +180,7 @@ def validation(model: Model, params, ds: LPDataset, cfg: Config,
         fn = g.fn
         lc, lv = model_inference(model, params, g, cfg.edge_num_thresh,
                                  cfg.batch_size, cfg.arch_depth(), mesh=mesh,
-                                 dist_cache=dist_cache)
+                                 dist_cache=dist_cache, part_dir=part_dir)
         if wrt_converged:
             tgt = f"{cfg.log_dir}/opt-from-{basis_folder}/{fn}.bas"
             if not osp.exists(tgt):
@@ -203,11 +218,12 @@ def predict_and_write_bases(model: Model, params, ds: LPDataset, cfg: Config,
     os.makedirs(out_dir, exist_ok=True)
     mesh = mesh_from_cfg(cfg)
     dist_cache: dict = {}
+    part_dir = part_cache_dir(cfg)
     for i in range(len(ds)):
         g = ds[i]
         lc, lv = model_inference(model, params, g, cfg.edge_num_thresh,
                                  cfg.batch_size, cfg.arch_depth(), mesh=mesh,
-                                 dist_cache=dist_cache)
+                                 dist_cache=dist_cache, part_dir=part_dir)
         logits = np.concatenate([lc, lv]).astype(np.float32)
         m = g.ncons
         pred = decode_fn(logits, m, nnzs=_nnzs_for_decode(g, decode_fn),
@@ -258,13 +274,14 @@ def timed_inference(model: Model, params, ds: LPDataset, cfg: Config,
     df = df_load(dump_info) if dump_info and osp.exists(dump_info) else None
     mesh = mesh_from_cfg(cfg)
     dist_cache: dict = {}
+    part_dir = part_cache_dir(cfg)
     times = {}
     for i in range(len(ds)):
         g = ds[i]
         part_t = None
         if _uses_dist_path(model, g, cfg.edge_num_thresh, mesh):
             t0 = time.time()
-            _dist_partition(model, g, mesh, dist_cache)
+            _dist_partition(model, g, mesh, dist_cache, cache_dir=part_dir)
             part_t = time.time() - t0
 
         # honor edge_num_thresh exactly like the prediction pass: an
@@ -273,7 +290,8 @@ def timed_inference(model: Model, params, ds: LPDataset, cfg: Config,
         def infer():
             return model_inference(model, params, g, cfg.edge_num_thresh,
                                    cfg.batch_size, cfg.arch_depth(),
-                                   mesh=mesh, dist_cache=dist_cache)
+                                   mesh=mesh, dist_cache=dist_cache,
+                                   part_dir=part_dir)
         infer()   # warm compile for this bucket (partition cache is hot)
         t0 = time.time()
         lc, lv = infer()

@@ -183,16 +183,23 @@ def compute_halo_width(pg: PaddedGraph, n_shards: int, ms: int | None = None,
     row = np.asarray(pg.row_r)
     col = np.asarray(pg.col_r)
     val = np.asarray(pg.val_r)
-    w = 1
-    for d in range(n_shards):
-        sel = (row >= d * ms) & (row < (d + 1) * ms) & (val != 0)
-        c = col[sel]
-        for e in range(n_shards):
-            if e == d:
-                continue   # own-block edges never enter the halo
-            ce = c[(c >= e * ns) & (c < (e + 1) * ns)]
-            w = max(w, len(np.unique(ce)))
-    return _round_up(w, 8)
+    # one pass over the edge list instead of D^2 per-pair masks+uniques:
+    # encode each off-diagonal edge as (requester d, owner e, owned col) and
+    # count distinct columns per (d, e) with a single sort (r04 item 5 —
+    # the per-pair loop was O(D^2 * E) and minutes at 10^8 edges)
+    valid = (val != 0) & (row < n_shards * ms) & (col < n_shards * ns)
+    d = row[valid] // ms
+    c = col[valid]
+    e = c // ns
+    off = d != e
+    key = ((d[off] * n_shards + e[off]).astype(np.int64) * (n_shards * ns)
+           + c[off])
+    uk = np.unique(key)
+    if len(uk) == 0:
+        return _round_up(1, 8)
+    cnt = np.bincount(uk // (n_shards * ns),
+                      minlength=n_shards * n_shards)
+    return _round_up(max(int(cnt.max()), 1), 8)
 
 
 def partition_graph(pg: PaddedGraph, n_shards: int, halo: bool = False,
@@ -300,12 +307,33 @@ def partition_graph(pg: PaddedGraph, n_shards: int, halo: bool = False,
         # block) referenced by shard d's edges. The diagonal stays empty:
         # own-block edges run against right_local with zero communication
         # (blkl_* layouts below), so the halo carries only true boundary
-        # columns.
-        blists = [[(np.unique(c[(c >= e * ns) & (c < (e + 1) * ns)] - e * ns)
-                    .astype(np.int32) if e != d else
-                    np.zeros(0, np.int32)) for e in range(n_shards)]
-                  for d, (_, c, _) in enumerate(shards)]
-        req = max((len(b) for per in blists for b in per), default=1)
+        # columns. Built with ONE sort over the off-diagonal edges (encode
+        # (d, e, local col) into a scalar key, np.unique, split by pair)
+        # instead of D^2 per-pair np.unique calls, and each edge's rank in
+        # its boundary list falls out of the same unique() — r04 item 5
+        # (the per-pair loops dominated partition time at 10^7+ edges).
+        lens = [len(c) for (_, c, _) in shards]
+        ds_all = np.repeat(np.arange(n_shards), lens)
+        cs_all = (np.concatenate([c for (_, c, _) in shards])
+                  if sum(lens) else np.zeros(0, np.int64))
+        owner_all = (cs_all // ns).astype(np.int64)
+        offmask = owner_all != ds_all
+        pair_off = ds_all[offmask] * n_shards + owner_all[offmask]
+        cloc_off = cs_all[offmask] - owner_all[offmask] * ns
+        key = pair_off.astype(np.int64) * ns + cloc_off
+        uk, inv = np.unique(key, return_inverse=True)
+        pair_u = uk // ns
+        counts = np.bincount(pair_u, minlength=n_shards * n_shards)
+        starts = np.concatenate([[0], np.cumsum(counts)])
+        blists = [[(uk[starts[d * n_shards + e]:
+                       starts[d * n_shards + e] + counts[d * n_shards + e]]
+                    % ns).astype(np.int32) if e != d else
+                   np.zeros(0, np.int32)
+                   for e in range(n_shards)] for d in range(n_shards)]
+        # rank of each off-diagonal edge's column within its B[d][e]
+        # (== the searchsorted the per-shard loops below used to do)
+        rank_all = inv - starts[pair_u[inv]]
+        req = int(counts.max()) if len(uk) else 1
         bh = halo_width or _round_up(max(req, 1), 8)
         assert bh >= req, (bh, req)
         nh = n_shards * bh
@@ -325,20 +353,22 @@ def partition_graph(pg: PaddedGraph, n_shards: int, halo: bool = False,
             halo_perm[d] = p
             halo_ids[d] = flat[p]
         # split each shard's edges into own-block (local var ids, no comm)
-        # and off-diagonal (halo slot owner*bh + rank in B[d][owner])
-        local_edges, slot_edges = [], []
+        # and off-diagonal (halo slot owner*bh + rank in B[d][owner]);
+        # ranks come precomputed from the unique() above — off_info keeps
+        # them per shard for the GEN compact-index pass below
+        local_edges, slot_edges, off_info = [], [], []
+        offsets = np.concatenate([[0], np.cumsum(lens)]).astype(np.int64)
+        off_ptr = 0
         for d, (r, c, v) in enumerate(shards):
-            owner = c // ns
-            own = owner == d
+            om = offmask[offsets[d]: offsets[d + 1]]
+            own = ~om
             local_edges.append((r[own] - d * ms, c[own] - d * ns, v[own]))
-            ro, co, vo = r[~own], c[~own], v[~own]
-            owner = owner[~own]
-            c_loc = co - owner * ns
-            rank = np.empty(len(co), np.int64)
-            for e in range(n_shards):
-                sel = owner == e
-                rank[sel] = np.searchsorted(blists[d][e], c_loc[sel])
-            slot_edges.append((ro - d * ms, owner * bh + rank, vo))
+            k_off = int(om.sum())
+            owner = owner_all[offsets[d]: offsets[d + 1]][om]
+            rank = rank_all[off_ptr: off_ptr + k_off]
+            off_ptr += k_off
+            off_info.append((om, owner, rank))
+            slot_edges.append((r[om] - d * ms, owner * bh + rank, v[om]))
         blkl_r = stacked_blocks([(dst, src, v)
                                  for dst, src, v in local_edges], ms)
         blkl_c = stacked_blocks([(src, dst, v)
@@ -360,17 +390,13 @@ def partition_graph(pg: PaddedGraph, n_shards: int, halo: bool = False,
             k = len(r)
             o1 = np.lexsort((c, r))          # the row-sorted real ordering
             rr_loc = (r[o1] - d * ms).astype(np.int32)
-            cg = c[o1]
-            owner = cg // ns
-            comp = np.empty(k, np.int64)
-            own = owner == d
-            comp[own] = cg[own] - d * ns
-            for e in range(n_shards):
-                if e == d:
-                    continue
-                sel = owner == e
-                comp[sel] = ns + e * bh + np.searchsorted(
-                    blists[d][e], cg[sel] - e * ns)
+            # compact ids in original edge order from the precomputed
+            # boundary ranks, then permuted into the row-sorted ordering
+            om, owner, rank = off_info[d]
+            comp0 = np.empty(k, np.int64)
+            comp0[~om] = c[~om] - d * ns
+            comp0[om] = ns + owner * bh + rank
+            comp = comp0[o1]
             pad_id = ns + nh - 1
             hcol = np.full(es, pad_id, np.int32)
             hcol[:k] = comp
@@ -418,6 +444,61 @@ def partition_graph(pg: PaddedGraph, n_shards: int, halo: bool = False,
         blkc_src=blkc[0], blkc_dst=blkc[1], blkc_val=blkc[2], blkc_out=blkc[3],
         n_shards=n_shards,
     )
+
+
+# ---------------------------------------------------------- partition caching
+def _graph_fingerprint(pg: PaddedGraph) -> str:
+    """Cheap content fingerprint for the partition disk cache: shapes +
+    CRC32 of a strided sample of the edge arrays (a full scan of a 10^8-edge
+    graph would cost a large fraction of what the cache saves). A same-named
+    graph whose edges changed therefore invalidates with high probability,
+    not certainty — acceptable for a cache keyed primarily by dataset file
+    name (processed/*.pk blobs are immutable once written)."""
+    import zlib
+    row = np.asarray(pg.row_r)
+    col = np.asarray(pg.col_r)
+    val = np.asarray(pg.val_r)
+    step = max(len(row) // 65536, 1)
+    h = zlib.crc32(row[::step].tobytes())
+    h = zlib.crc32(col[::step].tobytes(), h)
+    h = zlib.crc32(val[::step].tobytes(), h)
+    return f"{int(pg.ncons)}x{int(pg.nvars)}x{len(row)}-{h:08x}"
+
+
+def cached_partition_graph(pg: PaddedGraph, n_shards: int, halo: bool = False,
+                           cache_dir: str | None = None,
+                           fn: str | None = None,
+                           **kw) -> "PartitionedGraph":
+    """``partition_graph`` with an on-disk cache.
+
+    Partitioning is a per-graph constant but real wall time at scale
+    (measured: ~16 s host work per 10^7-edge graph, scripts/
+    bench_partition.py) and was recomputed by every training run's epoch 0
+    and every inference pass. Keyed by (graph file name, content
+    fingerprint, shard count, halo flag, explicit widths), stored beside
+    the dataset's ``processed/`` blobs — the same role the reference's
+    processed/*.pk cache plays for its host prep (dataset.py:178-224).
+    """
+    import os
+    import pickle
+    if not cache_dir or not fn:
+        return partition_graph(pg, n_shards, halo=halo, **kw)
+    wid = "-".join(f"{k}{v}" for k, v in sorted(kw.items())
+                   if v is not None)
+    key = (f"{fn}-D{n_shards}-h{int(halo)}"
+           + (f"-{wid}" if wid else "")
+           + f"-{_graph_fingerprint(pg)}.pk")
+    path = os.path.join(cache_dir, key)
+    if os.path.exists(path):
+        with open(path, "rb") as f:
+            return pickle.load(f)
+    dg = partition_graph(pg, n_shards, halo=halo, **kw)
+    os.makedirs(cache_dir, exist_ok=True)
+    tmp = path + f".tmp{os.getpid()}"
+    with open(tmp, "wb") as f:
+        pickle.dump(dg, f, protocol=pickle.HIGHEST_PROTOCOL)
+    os.replace(tmp, path)
+    return dg
 
 
 # --------------------------------------------------------------- halo exchange

@@ -110,8 +110,11 @@ struct Solver {
   // otail) so an update's move-to-end is O(1); ordpos holds monotone
   // integer keys (gaps allowed) for order comparisons in the update's
   // elimination heap. Ucols[k] entries always sit earlier in the order than
-  // k. Urows mirrors U row-wise (off-diagonal only) for the update's row
-  // elimination; it is only read by ft_update, never by solves.
+  // k. Urows mirrors U row-wise (off-diagonal only); it is read by
+  // ft_update's row elimination AND by btran/btran_dense (their U^T pass is
+  // scatter-form over Urows), so Ucols/Urows must stay exact transpose
+  // mirrors of each other across every FT update — a drifted mirror
+  // corrupts solves, not just updates.
   std::vector<std::vector<std::pair<int, double>>> Urows;  // (pos k later, val)
   // Row mirror of L in position space for btran's scatter-form L^T pass:
   // Lrows[p] = {(p' < p, f) : Lcols[p'] contains (pivrow[p], f)}. L is
@@ -136,12 +139,8 @@ struct Solver {
   mutable std::vector<char> hs_mark;                 // in-heap marks
   mutable std::vector<char> hs_in;                   // support membership
   mutable std::vector<int> hs_list;                  // support positions
-  // whether the LAST ftran/btran took the sparse path — then hs_list is a
-  // superset of the result's nonzero positions, letting the dual loop's
-  // consumers (rho support scan, DSE weight/primal updates) iterate the
-  // support instead of all m entries. Clobbered by the next solve call:
-  // consumers must read it immediately.
-  mutable bool last_sparse = false;
+  // (solve supports are returned to callers via ftran/btran's explicit
+  // supp out-params; hs_list is internal scratch only)
   static constexpr int HS_DIV = 8;   // sparse path iff |rhs| <= m / HS_DIV
   std::vector<double> upd_rv;         // row-elimination scatter values
   std::vector<char> upd_mark;
@@ -351,7 +350,14 @@ struct Solver {
   // basis position). B = H U with H = Lfull composed with the FT row etas.
   // Optionally stashes the spike H^{-1} rhs (the intermediate before the U
   // solve) — exactly what a Forrest-Tomlin update of this column needs.
-  void ftran(std::vector<double>& v, std::vector<double>* spike = nullptr) const {
+  // Returns true iff the sparse path ran; then *supp (if given) receives a
+  // superset of the result's nonzero POSITIONS, so callers iterate the
+  // support instead of all m entries. On the dense path (returns false)
+  // supp is untouched and callers must sweep. The support is handed out
+  // explicitly (not via mutable member state) so a consumer can never read
+  // a support clobbered by an intervening solve call.
+  bool ftran(std::vector<double>& v, std::vector<double>* spike = nullptr,
+             std::vector<int>* supp = nullptr) const {
     const int M = m;
     // collect the rhs support (original row ids -> positions); bail to the
     // dense sweep when it is too large for the heap path to pay
@@ -359,7 +365,10 @@ struct Solver {
     for (int r = 0; r < M; ++r)
       if (v[r] != 0.0) {
         hs_hp.push_back(rowpos[r]);
-        if ((int)hs_hp.size() * HS_DIV > M) return ftran_dense(v, spike);
+        if ((int)hs_hp.size() * HS_DIV > M) {
+          ftran_dense(v, spike);
+          return false;
+        }
       }
     if ((int)hs_mark.size() != M) { hs_mark.assign(M, 0); hs_in.assign(M, 0); }
     ft_z.assign(M, 0.0);
@@ -435,14 +444,14 @@ struct Solver {
       fprintf(stderr, "[ftran] calls=%lld avg|supp|=%.0f (m=%d)\n", f_calls,
               (double)f_supp / f_calls, M);
 #endif
-    last_sparse = true;
+    if (supp) *supp = hs_list;
     std::swap(v, ft_z);   // hand the result buffer over; z becomes scratch
+    return true;
   }
 
   void ftran_dense(std::vector<double>& v,
                    std::vector<double>* spike = nullptr) const {
     const int M = m;
-    last_sparse = false;
     // z = Lfull^{-1} rhs  (forward over pivot positions)
     ft_z.resize(M);
     std::vector<double>& z = ft_z;
@@ -474,14 +483,19 @@ struct Solver {
   // proportional to the solution's nonzero structure — hyper-sparse for the
   // per-pivot pricing solve rho = B^-T e_r — instead of a dense gather over
   // every position (the former dominated the dual loop's profile).
-  void btran(std::vector<double>& v) const {
+  // Same support contract as ftran: returns true iff sparse, then *supp
+  // holds a superset of the result's nonzero positions.
+  bool btran(std::vector<double>& v, std::vector<int>* supp = nullptr) const {
     const int M = m;
     // collect the rhs support (positions); dense fallback when large
     hs_hp.clear();
     for (int k = 0; k < M; ++k)
       if (v[k] != 0.0) {
         hs_hp.push_back(k);
-        if ((int)hs_hp.size() * HS_DIV > M) return btran_dense(v);
+        if ((int)hs_hp.size() * HS_DIV > M) {
+          btran_dense(v);
+          return false;
+        }
       }
     if ((int)hs_mark.size() != M) { hs_mark.assign(M, 0); hs_in.assign(M, 0); }
     hs_list.clear();
@@ -550,13 +564,13 @@ struct Solver {
       }
     }
     for (int p : hs_list) hs_in[p] = 0;
-    last_sparse = true;
+    if (supp) *supp = hs_list;
     std::swap(v, bt_out);   // hand the result buffer over
+    return true;
   }
 
   void btran_dense(std::vector<double>& v) const {
     const int M = m;
-    last_sparse = false;
     // U^T t = v  (forward over the elimination order): once t_k is fixed,
     // push U[k][c]·t_k into each later accumulator via Urows[k]
     bt_t = v;
@@ -954,7 +968,10 @@ struct Solver {
     std::vector<int> flips;
     std::vector<double> fw(m);
     std::vector<int> wsupp;       // entering column w's nonzero positions
+    std::vector<int> rho_supp, fw_supp;   // sparse-solve support out-params
     wsupp.reserve(256);
+    rho_supp.reserve(256);
+    fw_supp.reserve(256);
     for (;;) {
       if (niter >= max_iter) { res = ITERLIMIT; break; }
       // leaving: largest devex-weighted primal violation
@@ -976,7 +993,7 @@ struct Solver {
       // A row-wise (CSR) over that support instead of scanning all N columns
       std::fill(rho.begin(), rho.end(), 0.0);
       rho[rlv] = 1.0;
-      btran(rho);
+      bool rho_sparse = btran(rho, &rho_supp);
 #ifdef TPULP_STATS
       static long long s_sup = 0, s_touch = 0, s_iters = 0, s_ops = 0;
 #endif
@@ -986,9 +1003,9 @@ struct Solver {
       // nonzero rho entries would silently exclude columns whose alpha is a
       // tiny-rho x large-A product from the ratio test and drift the
       // incrementally maintained reduced costs on badly scaled LPs.
-      if (last_sparse) {
+      if (rho_sparse) {
         // sparse btran already knows the touched positions — walk those
-        for (int p : hs_list) {
+        for (int p : rho_supp) {
           int i = pivrow[p];
           if (rho[i] != 0.0) support.push_back(i);
         }
@@ -1088,13 +1105,10 @@ struct Solver {
       col_of(q, colbuf);
       std::fill(w.begin(), w.end(), 0.0);
       for (auto& e2 : colbuf) w[e2.first] = e2.second;
-      ftran(w, &spike);   // spike = H^-1 a_q feeds the FT update on pivot
-      // capture w's nonzero positions NOW (hs_list is clobbered by the next
-      // solve call, e.g. the flip FTRAN below) for the update loops
+      // spike = H^-1 a_q feeds the FT update on pivot; the support
+      // out-param is w's nonzero positions for the update loops below
       wsupp.clear();
-      if (last_sparse) {
-        wsupp.insert(wsupp.end(), hs_list.begin(), hs_list.end());
-      } else {
+      if (!ftran(w, &spike, &wsupp)) {
         for (int k = 0; k < m; ++k)
           if (w[k] != 0.0) wsupp.push_back(k);
       }
@@ -1117,9 +1131,8 @@ struct Solver {
           col_of(j, colbuf);
           for (auto& e2 : colbuf) fw[e2.first] += e2.second * delta;
         }
-        ftran(fw);
-        if (last_sparse) {
-          for (int k : hs_list) x[basic[k]] -= fw[k];
+        if (ftran(fw, nullptr, &fw_supp)) {
+          for (int k : fw_supp) x[basic[k]] -= fw[k];
         } else {
           for (int k = 0; k < m; ++k) x[basic[k]] -= fw[k];
         }

@@ -355,6 +355,32 @@ def run_exp(cfg: Config, dataset: LPDataset | None = None) -> str:
                          "collectives", edge_size,
                          "halo" if dist_halo else "all-gather")
 
+    # multi-host host-prep sharding (r04 item 8): partitioning an oversize
+    # graph is the dominant per-graph host cost (~16 s per 10M edges,
+    # scripts/bench_partition.py) and every process used to redo all of it.
+    # With the on-disk partition cache on a shared filesystem, process i
+    # builds only graphs i, i+P, ... and the barrier lets every process
+    # then LOAD all partitions — step-time data stays identical per the
+    # multi-host contract, but the redundant prep is divided by P. (The
+    # combined dp x edge batch partitions are built per-batch and are not
+    # covered; real deployments without a shared FS should set
+    # --part_cache 0 — see ARCHITECTURE.md.)
+    if (n_procs > 1 and dist_step is not None
+            and getattr(cfg, "part_cache", 1)
+            and getattr(cfg, "dataset_processed_prefix", "")):
+        from jax.experimental import multihost_utils
+        from ..parallel.edge_partition import cached_partition_graph
+        part_dir = os.path.join(cfg.dataset_processed_prefix, "partitions")
+        for gi in range(len(train_ds)):
+            if gi % n_procs != jax.process_index():
+                continue
+            g = train_ds[gi]
+            if g.nnz > cfg.edge_num_thresh:
+                cached_partition_graph(pad_graph(g), edge_size,
+                                       halo=dist_halo, cache_dir=part_dir,
+                                       fn=getattr(g, "fn", None))
+        multihost_utils.sync_global_devices("lp_gnn_partition_prebuild")
+
     # host-side padded-graph cache: pad once, reuse across epochs
     padded_cache: dict[int, PaddedGraph] = {}
 
@@ -378,9 +404,17 @@ def run_exp(cfg: Config, dataset: LPDataset | None = None) -> str:
                         pg_new = jax.device_get(pg_new)
                 padded_cache[idx] = pg_new
             elif dist_step is not None:
-                from ..parallel.edge_partition import (partition_graph,
+                from ..parallel.edge_partition import (cached_partition_graph,
                                                        attach_dist_input_agg)
-                dg = partition_graph(pad_graph(g), edge_size, halo=dist_halo)
+                part_dir = (os.path.join(cfg.dataset_processed_prefix,
+                                         "partitions")
+                            if getattr(cfg, "part_cache", 1) and
+                            getattr(cfg, "dataset_processed_prefix", "")
+                            else None)
+                dg = cached_partition_graph(pad_graph(g), edge_size,
+                                            halo=dist_halo,
+                                            cache_dir=part_dir,
+                                            fn=getattr(g, "fn", None))
                 # the GEN archs cannot cache the input aggregation (softmax
                 # weights depend on the params)
                 if getattr(cfg, "cache_in_agg", 1) and "GEN" not in model.name:

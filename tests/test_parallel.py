@@ -387,6 +387,42 @@ def test_inference_partition_cached_once(rng, monkeypatch):
     np.testing.assert_array_equal(lv1, lv2)
 
 
+def test_partition_disk_cache_roundtrip(rng, tmp_path, monkeypatch):
+    """cached_partition_graph persists the partition beside the dataset and
+    the second call loads it from disk without recomputing (r04 item 5 —
+    the reference analog is the processed/*.pk host-prep cache,
+    dataset.py:178-224), bit-identical to the computed one."""
+    from lp_gnn_tpu.parallel import edge_partition as EP
+    from tests.test_sampling import make_graph
+    g = make_graph(rng, m=40, n=70, e=300)
+    pg = pad_graph(g)
+    calls = {"n": 0}
+    orig = EP.partition_graph
+
+    def counted(*a, **k):
+        calls["n"] += 1
+        return orig(*a, **k)
+
+    monkeypatch.setattr(EP, "partition_graph", counted)
+    d1 = EP.cached_partition_graph(pg, 2, halo=True,
+                                   cache_dir=str(tmp_path), fn="g0")
+    assert calls["n"] == 1
+    d2 = EP.cached_partition_graph(pg, 2, halo=True,
+                                   cache_dir=str(tmp_path), fn="g0")
+    assert calls["n"] == 1   # loaded from disk, not recomputed
+    for a, b in zip(jax.tree.leaves(d1), jax.tree.leaves(d2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # a different shard count misses the cache
+    EP.cached_partition_graph(pg, 4, halo=True, cache_dir=str(tmp_path),
+                              fn="g0")
+    assert calls["n"] == 2
+    # a changed graph (same name) misses via the content fingerprint
+    g2 = make_graph(np.random.RandomState(7), m=40, n=70, e=300)
+    EP.cached_partition_graph(pad_graph(g2), 2, halo=True,
+                              cache_dir=str(tmp_path), fn="g0")
+    assert calls["n"] == 3
+
+
 @pytest.mark.slow
 def test_dist_input_agg_cache_exact(rng):
     """attach_dist_input_agg must leave the distributed forward and one

@@ -121,6 +121,31 @@ def test_control_baselines(tiny_cfg):
     assert iters >= 0 and tm is not None
 
 
+def test_pipeline_lp_method_primal(tiny_cfg):
+    """--lp_method 4 (primal simplex strategy) runs the FULL pipeline
+    through the -m4 path suffixes: cold solves + labels from primal-optimal
+    bases, -m4 processed dir, warm starts with -ss 4, and the reporting
+    stage's impr columns against the matched highs-no-bas-m4 baseline
+    (reference run_solver.py:12-36, utils.py:834-841 -mX derivation)."""
+    import dataclasses
+    from lp_gnn_tpu import pipeline as pl
+
+    cfg = dataclasses.replace(tiny_cfg, lp_method=4, epochs=8,
+                              exp_nm="t-m4")
+    cfg.finalize()
+    assert cfg.dataset_processed_prefix.endswith("-m4")
+    pl.stage_prep_data(cfg)
+    assert len(os.listdir(f"{cfg.dataset_prefix}/highs-basis-m4")) == 10
+    assert len(os.listdir(f"{cfg.dataset_prefix}/log/highs-no-bas-m4")) == 10
+    out = pl.run_train_test(cfg)
+    df = out["df"]
+    val = df[df.split == "val"]
+    assert val["highs-no-bas-m4/niter"].notna().all()
+    assert "gnn-bas-0-m4/niter" in df.columns
+    assert val["gnn-bas-0-m4/niter"].notna().all()
+    assert "gnn-bas-0-m4/impr_niter" in df.columns
+
+
 def test_warm_gate_declines_nonpaying(tiny_cfg):
     """--warm_gate auto: the all-slack decode measures zero payback on the
     train calibration LPs (an all-slack warm start IS the cold start with
