@@ -231,15 +231,43 @@ def load_ckpt(path: str):
 
 def _is_torch_checkpoint(path: str) -> bool:
     """Sniff torch serialization: modern torch.save is a PK zip archive;
-    legacy is a pickle whose payload reconstructs torch storages. The
-    framework's own ckpt is a plain pickle of a dict of numpy arrays, so a
-    zip magic or a torch-referencing pickle stream marks the torch format."""
+    legacy is a pickle whose payload reconstructs torch storages via
+    GLOBAL/STACK_GLOBAL references into the ``torch`` package. The
+    framework's own ckpt is a plain pickle of numpy arrays, so the decisive
+    signal is a pickle opcode that IMPORTS from torch — not the byte string
+    "torch" appearing anywhere in the stream (a framework ckpt whose extra
+    metadata happened to contain that substring used to be misrouted)."""
+    import pickletools
     with open(path, "rb") as f:
-        head = f.read(4)
-        if head[:2] == b"PK":
+        if f.read(2) == b"PK":
             return True
         f.seek(0)
-        return b"torch" in f.read(4096)
+        last_strings: list[str] = []
+        # legacy torch.save writes SEVERAL back-to-back pickle streams
+        # (magic, protocol, sys_info, payload) — scan them all
+        for _stream in range(8):
+            try:
+                for op, arg, _pos in pickletools.genops(f):
+                    if op.name == "GLOBAL":
+                        mod = str(arg).split(" ")[0]
+                        if mod == "torch" or mod.startswith("torch."):
+                            return True
+                    elif "UNICODE" in op.name or "STRING" in op.name:
+                        last_strings.append(str(arg))
+                        last_strings = last_strings[-2:]
+                    elif op.name == "STACK_GLOBAL":
+                        # module pushed as the second-to-last string
+                        mod = (last_strings[0]
+                               if len(last_strings) == 2 else "")
+                        if mod == "torch" or mod.startswith("torch."):
+                            return True
+            except Exception:
+                # not parseable as a pickle (or past the last stream) —
+                # let load_ckpt's own pickle.load raise the real error
+                return False
+            if not f.peek(1):
+                break
+    return False
 
 
 # -------------------------------------------------------------------- run_exp

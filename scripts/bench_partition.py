@@ -82,6 +82,8 @@ def main():
     ap.add_argument("--naive", action="store_true",
                     help="also time the pre-r04 per-pair halo-width loop")
     ap.add_argument("--reps", type=int, default=2)
+    ap.add_argument("--cache_dir", type=str, default="",
+                    help="also time the disk cache store + load roundtrip")
     args = ap.parse_args()
 
     for E in args.edges:
@@ -106,6 +108,22 @@ def main():
                 best_p = min(best_p, time.time() - t0)
             cell["partition_s"] = round(best_p, 3)
             del dg
+            if args.cache_dir:
+                import shutil
+                from lp_gnn_tpu.parallel.edge_partition import (
+                    cached_partition_graph)
+                shutil.rmtree(args.cache_dir, ignore_errors=True)
+                t0 = time.time()
+                cached_partition_graph(pg, D, halo=True, halo_width=bh,
+                                       cache_dir=args.cache_dir, fn="bench")
+                cell["cache_store_s"] = round(time.time() - t0, 3)
+                t0 = time.time()
+                dg = cached_partition_graph(pg, D, halo=True, halo_width=bh,
+                                            cache_dir=args.cache_dir,
+                                            fn="bench")
+                cell["cache_load_s"] = round(time.time() - t0, 3)
+                del dg
+                shutil.rmtree(args.cache_dir, ignore_errors=True)
             if args.naive:
                 t0 = time.time()
                 bh2 = naive_halo_width(pg, D)
