@@ -209,6 +209,37 @@ def gen_mirp_mix(rs, rd, n_ports_range=(22, 40), n_periods_range=(45, 110),
                   name="mirp_mix")
 
 
+def gen_mirp_mix_shared(rs, rd, n_ports: int = 30,
+                        n_periods_range=(30, 160), arc_density: float = 0.3,
+                        tightness_range=(0.6, 1.4)) -> LPData:
+    """Hardness-mixed mirp with SHARED structure: ONE port network for the
+    whole family (drawn from ``rs`` like gen_mirp_like), with only the
+    horizon length and the bound tightness drawn per instance — so
+    cold-solve hardness spreads like the real population while every
+    instance is the *same* logistics system observed over different
+    horizons under different capacity regimes. This isolates the two
+    variables gen_mirp_mix confounds: the full mix also redraws the
+    network per instance, and its r04 run showed that *structural*
+    heterogeneity (not hardness spread) is what collapses warm-start
+    quality (+12.7% vs the fixed family's +39%, RESULTS.md) — the real
+    MIRPLIB Group-1 instances share port geography the way this variant
+    does, which is the regime of the reference's published 1.72x.
+    Default ranges calibrated on HiGHS 1.8 cold solves (seed 0, 8 probes):
+    18.5K ± 11.0K iterations, CoV 0.60."""
+    lo_t, hi_t = n_periods_range
+    T = int(rd.randint(lo_t, hi_t + 1))
+    tight = tightness_range[0] + \
+        (tightness_range[1] - tightness_range[0]) * rd.rand()
+    # same structure stream for every instance of the family: gen_mirp_like
+    # consumes rs identically given fixed (n_ports, arc_density)
+    rs_fixed = np.random.RandomState(rs.randint(1 << 30))
+    lp = gen_mirp_like(rs_fixed, rd, n_ports=n_ports, n_periods=T,
+                       arc_density=arc_density, tightness=tight)
+    return LPData(c=lp.c, b_l=lp.b_l, A=lp.A, b_u=lp.b_u, lb=lp.lb,
+                  ub=lp.ub, con_nms=lp.con_nms, var_nms=lp.var_nms,
+                  name="mirp_mix_s")
+
+
 def gen_netflow(rs, rd, n_nodes: int = 40, density: float = 0.15) -> LPData:
     """Min-cost flow with supplies/demands, arc capacities, and heavily
     penalized per-node surplus/deficit slacks (so sparse or disconnected
@@ -429,6 +460,7 @@ def permute_instance(lp: LPData, rng) -> LPData:
 GENERATORS = {
     "mirp_like": gen_mirp_like,
     "mirp_mix": gen_mirp_mix,
+    "mirp_mix_s": gen_mirp_mix_shared,
     "transport": gen_transport,
     "netflow": gen_netflow,
     "packing": gen_packing,
