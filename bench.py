@@ -66,6 +66,12 @@ HIDS = int(os.environ.get("BENCH_HIDS", 256))
 # rounds. BENCH_DEPTH defaults to the flagship's 3 / the deep stacks' 5.
 ARCH = os.environ.get("BENCH_ARCH", "GCN_FC")
 DEPTH = int(os.environ.get("BENCH_DEPTH", 3 if ARCH == "GCN_FC" else 5))
+# BENCH_REMAT=1 trains with jax.checkpoint'ed conv blocks — REQUIRED for
+# GENDeeper at bench shapes (fp32 softmax edge tensors OOM 16G HBM
+# otherwise; see RESULTS.md r4 zoo bench) and defaulted on for it.
+REMAT = os.environ.get("BENCH_REMAT",
+                       "1" if ARCH == "GENDeeper" else "0") == "1"
+_REMAT_KW = ",remat=True" if REMAT else ""
 SPMM_PER_EDGE = 6  # 2 convs x 2 directions fwd + hidden conv x 2 bwd
 # XLA scatter-add segment-sum path on the same chip/shape (the naive port):
 # 715 ms/step == 8.4M edge-traversals/s (see module docstring). Re-measured
@@ -177,7 +183,7 @@ def measure(device, pg, n_warmup=2, n_steps=5):
 
     dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
     model = build_model(
-        f"{ARCH}(8,8,hids={HIDS},depth={DEPTH},dtype='{dtype}')")
+        f"{ARCH}(8,8,hids={HIDS},depth={DEPTH},dtype='{dtype}'{_REMAT_KW})")
     with jax.default_device(device):
         params = model.init(jax.random.PRNGKey(0))
         optimizer = make_optimizer("adam")
@@ -291,6 +297,9 @@ def main():
         from lp_gnn_tpu.ops.spmm import attach_input_agg
         import jax.numpy as jnp
         tiny = make_tiny_graph()
+        # count on the NON-remat model: the metric is algorithmic work
+        # delivered per step (module docstring); remat's recomputation is
+        # overhead that should lower trav/s, not inflate the numerator
         model = build_model(f"{ARCH}(8,8,hids=16,depth={DEPTH})")
         if os.environ.get("BENCH_CACHE_IN_AGG", "1") == "1":
             tiny = attach_input_agg(tiny, jnp.dtype(model.dtype))

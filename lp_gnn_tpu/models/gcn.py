@@ -165,11 +165,21 @@ def _deep_layer_apply(p, pg, left, right, conv_apply, dp, keys, train):
 
 
 def _make_deeper(name, conv_init, conv_apply, p=8, q=8, hids=128, depth=5,
-                 in_conv_apply=None, dtype="float32") -> Model:
+                 in_conv_apply=None, dtype="float32",
+                 remat: bool = False) -> Model:
     # in_conv_apply: cached-input variant for the first conv where the
     # aggregation is parameter-free (GraphConv); GENConv's softmax
     # aggregation depends on learnable temperature, so it cannot be cached.
+    # remat=True wraps each conv in jax.checkpoint — required for
+    # bench-tier GENDeeper training: the GEN softmax keeps (E, hids) fp32
+    # edge tensors live per direction, and without remat a depth-5
+    # backward at 1M edges x hids=256 wants ~37 GB of HBM (measured OOM,
+    # RESULTS.md r4 zoo bench); recomputing each block bounds live memory
+    # to one block's activations.
     in_conv_apply = in_conv_apply or conv_apply
+    if remat:
+        conv_apply = jax.checkpoint(conv_apply)
+        in_conv_apply = jax.checkpoint(in_conv_apply)
     n_mid = max(depth - 2, 0)
     cdtype = jnp.dtype(dtype)
 
@@ -194,15 +204,18 @@ def _make_deeper(name, conv_init, conv_apply, p=8, q=8, hids=128, depth=5,
     return Model(name, init, apply, depth, hids, dtype=dtype)
 
 
-def make_gcn_deeper(p=8, q=8, hids=128, depth=50, dtype="float32") -> Model:
+def make_gcn_deeper(p=8, q=8, hids=128, depth=50, dtype="float32",
+                    remat=False) -> Model:
     return _make_deeper("GCNDeeper", bidir_conv_init, bidir_conv_apply,
                         p, q, hids, depth,
-                        in_conv_apply=bidir_conv_apply_input, dtype=dtype)
+                        in_conv_apply=bidir_conv_apply_input, dtype=dtype,
+                        remat=remat)
 
 
-def make_gen_deeper(p=8, q=8, hids=128, depth=5, dtype="float32") -> Model:
+def make_gen_deeper(p=8, q=8, hids=128, depth=5, dtype="float32",
+                    remat=False) -> Model:
     return _make_deeper("GENDeeper", gen_bidir_init, gen_bidir_apply,
-                        p, q, hids, depth, dtype=dtype)
+                        p, q, hids, depth, dtype=dtype, remat=remat)
 
 
 MODEL_REGISTRY = {
