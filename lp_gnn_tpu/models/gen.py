@@ -52,9 +52,14 @@ def _segment_softmax_agg(logits, values, seg, num_seg, emask):
     ex = jnp.where(em, jnp.exp(logits - mx[seg]), 0.0)
     den = jax.ops.segment_sum(ex, seg, num_segments=num_seg,
                               indices_are_sorted=True)
-    alpha = ex / jnp.maximum(den[seg], 1e-16)
-    return jax.ops.segment_sum(alpha * values, seg, num_segments=num_seg,
-                               indices_are_sorted=True)
+    # divide by the per-segment denominator AFTER aggregating (den is
+    # constant within a segment, so sum_e (ex_e/den) v_e == (sum_e ex_e
+    # v_e)/den): this removes the (E, D) den[seg] gather and the (E, D)
+    # alpha materialization — two full edge-space passes — from the hot
+    # path (the GEN step is HBM-pass bound, RESULTS.md r4 zoo bench)
+    num = jax.ops.segment_sum(ex * values, seg, num_segments=num_seg,
+                              indices_are_sorted=True)
+    return num / jnp.maximum(den, 1e-16)
 
 
 def gen_dir_init(key, d_src: int, d_dst: int, d_out: int):

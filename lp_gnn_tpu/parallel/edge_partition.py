@@ -769,9 +769,11 @@ def _dist_gen_softmax_agg_local(logits, values, seg, num_seg, emask):
     ex = jnp.where(em, jnp.exp(logits - mx[seg]), 0.0)
     den = jax.ops.segment_sum(ex, seg, num_segments=num_seg,
                               indices_are_sorted=True)
-    alpha = ex / jnp.maximum(den[seg], 1e-16)
-    return jax.ops.segment_sum(alpha * values, seg, num_segments=num_seg,
-                               indices_are_sorted=True)
+    # divide after aggregating (den constant per segment) — saves the
+    # (E, D) den gather + alpha materialization, same as models/gen.py
+    num = jax.ops.segment_sum(ex * values, seg, num_segments=num_seg,
+                              indices_are_sorted=True)
+    return num / jnp.maximum(den, 1e-16)
 
 
 def _dist_gen_softmax_agg_global(logits, values, seg, n_pad, emask, ax):
