@@ -194,7 +194,11 @@ def measure(device, pg, n_warmup=2, n_steps=5):
         step = make_scan_train_step(model, "balanced", optimizer,
                                     stacked=False)
         pg_d = jax.device_put(pg, device)
-        if os.environ.get("BENCH_CACHE_IN_AGG", "1") == "1":
+        # GEN archs never read the input-agg cache (their softmax
+        # aggregation depends on learnable params) — attaching would only
+        # burn HBM headroom
+        if os.environ.get("BENCH_CACHE_IN_AGG", "1") == "1" \
+                and "GEN" not in ARCH:
             from lp_gnn_tpu.ops.spmm import attach_input_agg
             pg_d = attach_input_agg(pg_d, jnp.dtype(model.dtype))
         rngs = jax.random.split(jax.random.PRNGKey(0), n_steps)
@@ -301,11 +305,15 @@ def main():
         # delivered per step (module docstring); remat's recomputation is
         # overhead that should lower trav/s, not inflate the numerator
         model = build_model(f"{ARCH}(8,8,hids=16,depth={DEPTH})")
-        if os.environ.get("BENCH_CACHE_IN_AGG", "1") == "1":
+        # same cache condition as measure(): GEN-family archs never
+        # consume the input aggregation, so they get no cached-traversal
+        # credit either
+        if os.environ.get("BENCH_CACHE_IN_AGG", "1") == "1" \
+                and "GEN" not in ARCH:
             tiny = attach_input_agg(tiny, jnp.dtype(model.dtype))
         # the cached input conv contributes 2 semantic traversals the step
         # no longer executes (module docstring: algorithmic work delivered)
-        cached = 2 if tiny.in_agg_c is not None and ARCH != "GENDeeper" else 0
+        cached = 2 if tiny.in_agg_c is not None else 0
         per_edge = count_traversals(model, tiny) + cached
     times = measure(dev, pg)
     t_dev = min(times)

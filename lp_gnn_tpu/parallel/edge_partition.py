@@ -449,20 +449,25 @@ def partition_graph(pg: PaddedGraph, n_shards: int, halo: bool = False,
 # ---------------------------------------------------------- partition caching
 def _graph_fingerprint(pg: PaddedGraph) -> str:
     """Cheap content fingerprint for the partition disk cache: shapes +
-    CRC32 of a strided sample of the edge arrays (a full scan of a 10^8-edge
-    graph would cost a large fraction of what the cache saves). A same-named
-    graph whose edges changed therefore invalidates with high probability,
-    not certainty — acceptable for a cache keyed primarily by dataset file
-    name (processed/*.pk blobs are immutable once written)."""
+    CRC32 of a strided sample of the edge arrays AND of the node
+    features/labels/masks (the cached PartitionedGraph embeds those too —
+    a re-prepped dataset whose sparsity is unchanged but whose
+    features/labels moved, e.g. bound-only regeneration or a relabeling
+    solver upgrade, must miss the cache). Sampled, not full-scan (a
+    10^8-edge scan would cost a large fraction of what the cache saves),
+    so invalidation is with high probability, not certainty — acceptable
+    for a cache keyed primarily by dataset file name (processed/*.pk
+    blobs are immutable once written)."""
     import zlib
-    row = np.asarray(pg.row_r)
-    col = np.asarray(pg.col_r)
-    val = np.asarray(pg.val_r)
-    step = max(len(row) // 65536, 1)
-    h = zlib.crc32(row[::step].tobytes())
-    h = zlib.crc32(col[::step].tobytes(), h)
-    h = zlib.crc32(val[::step].tobytes(), h)
-    return f"{int(pg.ncons)}x{int(pg.nvars)}x{len(row)}-{h:08x}"
+    h = 0
+    for a in (pg.row_r, pg.col_r, pg.val_r, pg.c_feas, pg.v_feas,
+              pg.y_s, pg.y_t, pg.cons_mask, pg.vars_mask):
+        a = np.ascontiguousarray(np.asarray(a))
+        flat = a.reshape(-1)
+        step = max(flat.shape[0] // 65536, 1)
+        h = zlib.crc32(np.ascontiguousarray(flat[::step]).tobytes(), h)
+    return f"{int(pg.ncons)}x{int(pg.nvars)}x{len(np.asarray(pg.row_r))}" \
+           f"-{h:08x}"
 
 
 def cached_partition_graph(pg: PaddedGraph, n_shards: int, halo: bool = False,

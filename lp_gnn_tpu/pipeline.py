@@ -216,7 +216,8 @@ def calibrate_warm_gate(model, params, train_ds, cfg: Config, inf_mng,
     has seen these LPs, so the estimate is optimistic — a family gated out
     by its own training split is unambiguously negative.
     """
-    from .infer.predict import model_inference, _nnzs_for_decode
+    from .infer.predict import (model_inference, _nnzs_for_decode,
+                                mesh_from_cfg, part_cache_dir)
     solve_mps = _solve_backend(cfg)
     method = cfg.normalized_lp_method()
     sfx = cfg.get_method_sfx()
@@ -224,6 +225,12 @@ def calibrate_warm_gate(model, params, train_ds, cfg: Config, inf_mng,
     calib_bas_dir = osp.join(cfg.log_dir, "warm-gate-calib")
     calib_log_dir = osp.join(cfg.log_dir, "log", "warm-gate-calib")
     mkdir_p(calib_bas_dir), mkdir_p(calib_log_dir)
+    # same inference configuration as the val predictions this gate gates:
+    # oversize graphs go through the (cached) edge-partitioned forward, not
+    # the exact-sampled fallback
+    mesh = mesh_from_cfg(cfg)
+    dist_cache: dict = {}
+    part_dir = part_cache_dir(cfg)
     lps, imprs = [], []
     for i in range(len(train_ds)):
         if len(lps) >= k:
@@ -240,7 +247,9 @@ def calibrate_warm_gate(model, params, train_ds, cfg: Config, inf_mng,
         if not osp.exists(mps) and osp.exists(mps + ".gz"):
             mps = mps + ".gz"
         lc, lv = model_inference(model, params, g, cfg.edge_num_thresh,
-                                 cfg.batch_size, cfg.arch_depth())
+                                 cfg.batch_size, cfg.arch_depth(),
+                                 mesh=mesh, dist_cache=dist_cache,
+                                 part_dir=part_dir)
         logits = np.concatenate([lc, lv]).astype(np.float32)
         pred = decode_fn(logits, g.ncons,
                          nnzs=_nnzs_for_decode(g, decode_fn),
@@ -330,7 +339,17 @@ def stage_warm_start(cfg: Config) -> None:
         gate_path = osp.join(cfg.log_dir, "warm_gate.json")
         if osp.exists(gate_path):
             gate = json_load(gate_path)
-            gated_off = not gate.get("proceed", True)
+            if gate.get("decode", basis_folder) != basis_folder:
+                # calibrated for a DIFFERENT decode (manager changed since
+                # predict): a stale gate must neither force cold solves nor
+                # wrongly proceed for this decode — ignore it
+                logging.warning(
+                    "warm_gate.json was calibrated for decode %r but this "
+                    "run uses %r — ignoring the stale gate (re-run the "
+                    "predict stage to recalibrate)",
+                    gate.get("decode"), basis_folder)
+                gate = {}
+            gated_off = not gate.get("proceed", True) if gate else False
             if gated_off:
                 logging.warning(
                     "warm gate DECLINED (mean train impr %+.1f%% over %d "

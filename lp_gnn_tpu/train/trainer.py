@@ -79,8 +79,11 @@ def _step_accuracy(pg, lc, lv, ms, mt):
 
 def make_train_step(model: Model, loss_name: str, optimizer,
                     with_acc: bool = True):
-    """``with_acc=False`` skips the per-step decode accuracy (returns -1.0);
-    the trainer uses it for the steps whose accuracy is never logged."""
+    """``with_acc=False`` skips the per-step decode accuracy (returns
+    -1.0). The returned step also accepts an optional TRACED ``acc_on``
+    boolean (step(..., acc_on=jnp.bool_(x))) gating the accuracy via
+    ``lax.cond`` inside ONE compiled program — the trainer's --step_acc 0
+    path uses this so each bucket compiles once, not once per variant."""
     loss_fn = LOSS_REGISTRY[loss_name]
 
     def compute_loss(params, pg, rng):
@@ -90,14 +93,19 @@ def make_train_step(model: Model, loss_name: str, optimizer,
         return loss, (lc, lv, ms, mt)
 
     @partial(jax.jit, donate_argnums=(0, 1))
-    def train_step(params, opt_state, pg, rng, lr):
+    def train_step(params, opt_state, pg, rng, lr, acc_on=None):
         (loss, (lc, lv, ms, mt)), grads = jax.value_and_grad(
             compute_loss, has_aux=True)(params, pg, rng)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         updates = jax.tree.map(lambda u: -lr * u, updates)
         params = optax.apply_updates(params, updates)
-        acc = (_step_accuracy(pg, lc, lv, ms, mt) if with_acc
-               else jnp.float32(-1.0))
+        if acc_on is None:
+            acc = (_step_accuracy(pg, lc, lv, ms, mt) if with_acc
+                   else jnp.float32(-1.0))
+        else:
+            acc = jax.lax.cond(acc_on,
+                               lambda: _step_accuracy(pg, lc, lv, ms, mt),
+                               lambda: jnp.float32(-1.0))
         return params, opt_state, loss, acc
 
     return train_step
@@ -308,12 +316,11 @@ def run_exp(cfg: Config, dataset: LPDataset | None = None) -> str:
         logging.info("resumed from %s at epoch %d", cfg.load_from, start_epoch)
     train_step = make_train_step(model, cfg.loss, optimizer)
     # --step_acc 0 (default): the decode-accuracy argsorts run only on the
-    # steps whose value reaches the log (every 9th); other steps use the
-    # accuracy-free jit variant of the same update (bit-identical params).
+    # steps whose value reaches the log (every 9th), gated by a traced
+    # boolean inside ONE compiled step per bucket (lax.cond — a second
+    # accuracy-free compile per bucket would double the dominant compile
+    # cost of CPU runs).
     step_acc_always = bool(getattr(cfg, "step_acc", 0))
-    train_step_noacc = (train_step if step_acc_always else
-                        make_train_step(model, cfg.loss, optimizer,
-                                        with_acc=False))
 
     # Distribution axes (--mesh_shape "dp=K,edge=M", SURVEY §2.3):
     #   edge=M : oversize graphs (> edge_num_thresh) train edge-partitioned
@@ -393,7 +400,11 @@ def run_exp(cfg: Config, dataset: LPDataset | None = None) -> str:
     # combined dp x edge batch partitions are built per-batch and are not
     # covered; real deployments without a shared FS should set
     # --part_cache 0 — see ARCHITECTURE.md.)
-    if (n_procs > 1 and dist_step is not None
+    # (skipped in combined dp x edge mode: covered oversize graphs use
+    # per-BATCH partitions built by partition_batch, which never read this
+    # cache — prebuilding every graph single-graph would pay the full host
+    # prep the sharding exists to avoid, for files mostly never loaded)
+    if (n_procs > 1 and dist_step is not None and combined_step is None
             and getattr(cfg, "part_cache", 1)
             and getattr(cfg, "dataset_processed_prefix", "")):
         from jax.experimental import multihost_utils
@@ -621,9 +632,9 @@ def run_exp(cfg: Config, dataset: LPDataset | None = None) -> str:
                 from jax.sharding import NamedSharding, PartitionSpec
                 pg = jax.device_put(pg, NamedSharding(grid, PartitionSpec()))
             want_acc = step_acc_always or glstep % 9 == 1
-            params, opt_state, loss, acc = (
-                train_step if want_acc else train_step_noacc)(
-                params, opt_state, pg, sk, jnp.float32(lr))
+            params, opt_state, loss, acc = train_step(
+                params, opt_state, pg, sk, jnp.float32(lr),
+                jnp.bool_(want_acc))
             acc = float(acc)
             log_step(idx_graphs, float(loss), acc if acc >= 0 else None)
 

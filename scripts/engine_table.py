@@ -36,7 +36,7 @@ def main():
     rows = {}
     import time
     for eng, solve in engines.items():
-        cold, warm, tc, tw = [], [], [], []
+        cold, warm, tc, tw, failed = [], [], [], [], 0
         for nm in fns:
             mps = f"{cfg.dataset_prefix}/mps/{nm}.mps"
             if not osp.exists(mps):
@@ -45,23 +45,32 @@ def main():
                            f"{nm}.bas")
             t0 = time.time()
             rc = solve(mps, method=method)
-            tc.append(time.time() - t0)
+            t_c = time.time() - t0
             t0 = time.time()
             rw = solve(mps, method=method, basis_in_path=bas)
-            tw.append(time.time() - t0)
-            cold.append(rc.niter)
-            warm.append(rw.niter)
-            ok = (rc.status == rw.status == "Optimal")
+            t_w = time.time() - t0
+            ok = (rc.status == rw.status == "Optimal"
+                  and rc.niter >= 0 and rw.niter >= 0)
             print(f"{eng:7s} {nm}: cold {rc.niter:6d} warm {rw.niter:6d} "
                   f"{'' if ok else 'STATUS ' + rc.status + '/' + rw.status}",
                   flush=True)
+            if not ok:
+                # a failed solve (niter sentinel -1 / non-Optimal) must not
+                # enter the aggregates — it would deflate mean iterations
+                # and inflate impr
+                failed += 1
+                continue
+            cold.append(rc.niter)
+            warm.append(rw.niter)
+            tc.append(t_c)
+            tw.append(t_w)
         c, w = np.mean(cold), np.mean(warm)
         rows[eng] = {"cold_niter": round(float(c), 1),
                      "warm_niter": round(float(w), 1),
                      "impr": round(float((c - w) / c), 4),
                      "cold_s_per_lp": round(float(np.mean(tc)), 3),
                      "warm_s_per_lp": round(float(np.mean(tw)), 3),
-                     "n": len(fns)}
+                     "n": len(cold), "failed": failed}
     print(json.dumps({"dataset": cfg.dataset, "exp": cfg.exp_nm,
                       "method": method, "engines": rows}))
 

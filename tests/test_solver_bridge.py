@@ -32,6 +32,37 @@ def test_family_structure_fixed():
     assert not np.allclose(a.b_l, b.b_l)                     # different data
 
 
+def test_mirp_mix_families_deterministic_and_mixed():
+    """The r4 hardness-mix families: deterministic in (seed, instance);
+    mirp_mix varies the structure per instance (different shapes with
+    high probability), while mirp_mix_s keeps ONE shared network — equal
+    horizons imply an identical sparsity pattern with only the rd-driven
+    data differing (the invariant its causal analysis rests on)."""
+    a1 = generate_instance("mirp_mix", seed=0, instance=3,
+                           n_ports_range=(6, 12), n_periods_range=(6, 16))
+    a2 = generate_instance("mirp_mix", seed=0, instance=3,
+                           n_ports_range=(6, 12), n_periods_range=(6, 16))
+    assert a1.shape == a2.shape
+    np.testing.assert_array_equal(a1.A.toarray(), a2.A.toarray())
+    shapes = {generate_instance("mirp_mix", seed=0, instance=k,
+                                n_ports_range=(6, 12),
+                                n_periods_range=(6, 16)).shape
+              for k in range(6)}
+    assert len(shapes) > 1   # the mix actually mixes
+
+    # shared-structure variant: force equal horizons via a 1-wide range
+    kw = dict(n_ports=5, n_periods_range=(8, 8), arc_density=0.6)
+    s1 = generate_instance("mirp_mix_s", seed=0, instance=0, **kw)
+    s2 = generate_instance("mirp_mix_s", seed=0, instance=1, **kw)
+    assert s1.shape == s2.shape
+    np.testing.assert_array_equal(s1.A.indices, s2.A.indices)
+    np.testing.assert_array_equal(s1.A.indptr, s2.A.indptr)
+    assert not np.allclose(s1.b_l, s2.b_l)   # data varies per instance
+    # tightness is per-instance: the capacity bounds differ too
+    assert not np.allclose(s1.ub[np.isfinite(s1.ub)],
+                           s2.ub[np.isfinite(s2.ub)])
+
+
 def test_warm_start_from_optimal_is_free():
     lp = generate_instance("transport", seed=0, instance=0)
     cold = solve_lp(lp, method=1)
