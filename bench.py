@@ -335,6 +335,11 @@ def main():
         "spread": {k: round(E * per_edge / t, 1) for k, t in
                    zip(("min", "median", "max"),
                        (max(times), sorted(times)[1], min(times)))},
+        # methodology marker: 1 = per-step decode accuracy computed inside
+        # the measured step (pre-r04 definition / --step_acc 1); 0 = gated
+        # to logged steps (r04+ default) — archived JSON lines are
+        # self-describing across rounds (ADVICE r04)
+        "step_acc": int(os.environ.get("BENCH_STEP_ACC", "0") == "1"),
     }
     if ARCH != "GCN_FC" or DEPTH != 3:
         out["arch"] = f"{ARCH}(hids={HIDS},depth={DEPTH})"

@@ -95,6 +95,15 @@ class Config:
                                            # the sparsity decode as exactly
                                            # such a fallback); "off" = always
                                            # warm-start (pre-r04 behavior).
+    warm_gate_k: int = 5                   # min calibration LPs before the
+                                           # gate may decide (adaptive: it
+                                           # keeps sampling while the 90%
+                                           # t-interval on the mean payback
+                                           # straddles 0, up to warm_gate_kmax)
+    warm_gate_kmax: int = 12               # calibration budget cap; at
+                                           # exhaustion the gate DECLINES only
+                                           # when the interval's upper bound
+                                           # is <= 0 (measured harm, not noise)
     # parallelism (new, TPU build)
     mesh_shape: str = ""                   # e.g. "dp=4" or "edge=8"
     graph_batch: int = 1                   # same-bucket graphs vmapped per step

@@ -240,6 +240,75 @@ def gen_mirp_mix_shared(rs, rd, n_ports: int = 30,
                   name="mirp_mix_s")
 
 
+def _quantize(x, levels, lo, hi):
+    """Snap continuous draws onto ``levels`` evenly spaced values in
+    [lo, hi] — exact cost ties are what create dual degeneracy (many
+    nonbasic columns with zero reduced cost at the optimum)."""
+    if levels <= 1:
+        return np.full_like(x, (lo + hi) / 2.0)
+    g = np.round((np.asarray(x, np.float64) - lo) / (hi - lo) * (levels - 1))
+    return lo + g * (hi - lo) / (levels - 1)
+
+
+def gen_mirp_degen(rs, rd, n_ports: int = 30, n_periods: int = 60,
+                   arc_density: float = 0.3, tightness: float = 1.0,
+                   degeneracy: float = 0.5) -> LPData:
+    """mirp_like with a controlled DUAL-DEGENERACY level (VERDICT r04
+    item 2: the last standing hypothesis for the 1.6x-vs-published-1.72x
+    headline gap is that real MIRPLIB LPs are far more dual-degenerate —
+    many optimal bases, so imperfect predictions still land near an
+    optimal face; readme.md:137-143 is the published number).
+
+    Two independent mechanisms, both scaled by ``degeneracy`` in [0, 1],
+    at FIXED structure knobs (the bench-tier 30x60 configuration, so
+    hardness stays comparable to mirp_bench):
+
+    1. **Cost quantization**: the continuous holding / shipping / penalty
+       cost draws are snapped onto a coarse grid (13 levels at 0 down to a
+       single value at 1). Tied costs make alternative optima exact.
+    2. **Arc duplication**: a ``degeneracy`` fraction of shipping arcs is
+       cloned — identical column pattern, identical cost, capacity split
+       in half between the twins — so ANY split of flow between a twin
+       pair is optimal (textbook massive dual degeneracy, structure-
+       preserving: total arc capacity is unchanged).
+    """
+    lp = gen_mirp_like(rs, rd, n_ports=n_ports, n_periods=n_periods,
+                       arc_density=arc_density, tightness=tightness)
+    P, T = n_ports, n_periods
+    n = lp.c.shape[0]
+    nI = P * T
+    nX = n - 3 * P * T
+    A_ = nX // T
+    c = lp.c.copy()
+    levels = max(1, int(round((1.0 - degeneracy) * 12)) + 1)
+    c[:nI] = _quantize(c[:nI], levels, 0.1, 0.3)
+    # shipping costs are per-arc constants repeated over T: quantize the
+    # per-arc values so twins/parallel routes tie exactly
+    ship = c[nI:nI + nX].reshape(A_, T)
+    ship[:] = _quantize(ship[:, :1], levels, 1.0, 4.0)
+    c[nI + nX:nI + nX + P * T] = _quantize(
+        c[nI + nX:nI + nX + P * T], levels, 50.0, 60.0)
+    c[nI + nX + P * T:] = _quantize(c[nI + nX + P * T:], levels, 40.0, 50.0)
+    n_dup = int(round(degeneracy * A_))
+    if n_dup == 0:
+        return LPData(c=c, b_l=lp.b_l, A=lp.A, b_u=lp.b_u, lb=lp.lb,
+                      ub=lp.ub, con_nms=lp.con_nms, var_nms=lp.var_nms,
+                      name="mirp_degen")
+    from scipy.sparse import hstack
+    dup_arcs = rs.choice(A_, size=n_dup, replace=False)
+    cols = (nI + dup_arcs[:, None] * T + np.arange(T)[None, :]).reshape(-1)
+    ub = lp.ub.copy()
+    ub[cols] = ub[cols] / 2.0
+    A = hstack([lp.A.tocsc(), lp.A.tocsc()[:, cols]]).tocsr()
+    c_new = np.concatenate([c, c[cols]])
+    lb_new = np.concatenate([lp.lb, lp.lb[cols]])
+    ub_new = np.concatenate([ub, ub[cols]])
+    n_new = n + len(cols)
+    return LPData(c=c_new, b_l=lp.b_l, A=A, b_u=lp.b_u, lb=lb_new,
+                  ub=ub_new, con_nms=lp.con_nms,
+                  var_nms=_names("X", n_new), name="mirp_degen")
+
+
 def gen_netflow(rs, rd, n_nodes: int = 40, density: float = 0.15) -> LPData:
     """Min-cost flow with supplies/demands, arc capacities, and heavily
     penalized per-node surplus/deficit slacks (so sparse or disconnected
@@ -461,6 +530,7 @@ GENERATORS = {
     "mirp_like": gen_mirp_like,
     "mirp_mix": gen_mirp_mix,
     "mirp_mix_s": gen_mirp_mix_shared,
+    "mirp_degen": gen_mirp_degen,
     "transport": gen_transport,
     "netflow": gen_netflow,
     "packing": gen_packing,

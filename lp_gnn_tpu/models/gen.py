@@ -39,27 +39,35 @@ EPS = 1e-7
 def _segment_softmax_agg(logits, values, seg, num_seg, emask):
     """sum_e softmax_within_segment(logits)[e] * values[e], channel-wise.
     Edges with ``emask`` False contribute to neither the denominator nor
-    the aggregate."""
+    the aggregate.
+
+    Two r05 levers on the HBM-pass-bound GEN step (VERDICT r04 item 1):
+    the edge-space streams run in the INPUT dtype (bf16 at bench tier —
+    the max-subtracted ``ex`` is bounded in [0, 1], so bf16's ~2^-8
+    relative element error is benign; accumulation below is fp32), and the
+    ``num``/``den`` segment-sums are fused into ONE pass over stacked
+    values (den is constant within a segment, so the divide happens after
+    aggregating — r04's divide-after rewrite — and both sums read the same
+    ``ex`` stream, so one (E, 2D) scatter replaces two (E, D) ones)."""
     em = emask[:, None]
-    mx = jax.ops.segment_max(jnp.where(em, logits, -jnp.inf), seg,
+    ninf = jnp.array(-jnp.inf, logits.dtype)
+    mx = jax.ops.segment_max(jnp.where(em, logits, ninf), seg,
                              num_segments=num_seg, indices_are_sorted=True)
-    mx = jnp.where(jnp.isfinite(mx), mx, 0.0)   # empty segments
+    mx = jnp.where(jnp.isfinite(mx), mx, jnp.zeros((), logits.dtype))
     # the max shift cancels exactly in the softmax (per-segment alphas sum
     # to 1), so its gradient is identically zero — stop it explicitly, as
     # jax.nn.softmax does (also what makes the distributed pmax analog
     # differentiable, parallel/edge_partition.py)
     mx = jax.lax.stop_gradient(mx)
-    ex = jnp.where(em, jnp.exp(logits - mx[seg]), 0.0)
-    den = jax.ops.segment_sum(ex, seg, num_segments=num_seg,
-                              indices_are_sorted=True)
-    # divide by the per-segment denominator AFTER aggregating (den is
-    # constant within a segment, so sum_e (ex_e/den) v_e == (sum_e ex_e
-    # v_e)/den): this removes the (E, D) den[seg] gather and the (E, D)
-    # alpha materialization — two full edge-space passes — from the hot
-    # path (the GEN step is HBM-pass bound, RESULTS.md r4 zoo bench)
-    num = jax.ops.segment_sum(ex * values, seg, num_segments=num_seg,
-                              indices_are_sorted=True)
-    return num / jnp.maximum(den, 1e-16)
+    ex = jnp.where(em, jnp.exp(logits - mx[seg]), jnp.zeros((), logits.dtype))
+    # fp32 ACCUMULATION over the low-precision edge stream: the cast is
+    # element-wise and fuses into the scatter's operand, so HBM still only
+    # carries the input-dtype tensors
+    stacked = jnp.concatenate([ex * values, ex], axis=1).astype(jnp.float32)
+    s = jax.ops.segment_sum(stacked, seg, num_segments=num_seg,
+                            indices_are_sorted=True)
+    d = values.shape[1]
+    return s[:, :d] / jnp.maximum(s[:, d:], 1e-16)
 
 
 def gen_dir_init(key, d_src: int, d_dst: int, d_out: int):
@@ -93,9 +101,12 @@ def gen_dir_apply(p, src_ids, dst_ids, val, x_src, x_dst, num_dst, nnz,
     xs = gather_src(x_src, src_ids, t_seg, perm_to_t, num_src)
     msg = jax.nn.relu(xs + e) + EPS
     emask = jnp.arange(val.shape[0]) < nnz
-    t = p["t"].astype(jnp.float32)
-    msg32 = msg.astype(jnp.float32)
-    aggr = _segment_softmax_agg(msg32 * t, msg32, dst_ids, num_dst, emask)
+    # edge streams stay in the model dtype (bf16 at bench tier); only the
+    # segment-sum accumulation inside _segment_softmax_agg is fp32 — the
+    # reference's fp16-NaN guard concerns decode softmax over raw logits,
+    # not this max-subtracted, [0,1]-bounded stream (arch.py:84-105)
+    t = p["t"].astype(msg.dtype)
+    aggr = _segment_softmax_agg(msg * t, msg, dst_ids, num_dst, emask)
     h = aggr.astype(x_dst.dtype) + x_dst
     h = linear_apply(p["mlp"]["l1"], h)
     h = layer_norm_apply(p["mlp"]["ln"], h)

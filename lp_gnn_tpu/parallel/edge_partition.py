@@ -466,8 +466,73 @@ def _graph_fingerprint(pg: PaddedGraph) -> str:
         flat = a.reshape(-1)
         step = max(flat.shape[0] // 65536, 1)
         h = zlib.crc32(np.ascontiguousarray(flat[::step]).tobytes(), h)
+    # exact aggregates of the full edge arrays (one streaming pass, ~0.3 s
+    # at 10^8 edges — negligible vs the partition itself): a stale-cache
+    # collision now requires an edit that both lands between the CRC's
+    # sample points AND preserves these sums exactly
+    agg = np.array([np.asarray(pg.row_r, np.int64).sum(),
+                    np.asarray(pg.col_r, np.int64).sum()], np.int64)
+    vs = np.float64(np.asarray(pg.val_r, np.float64).sum())
+    h = zlib.crc32(agg.tobytes() + vs.tobytes(), h)
     return f"{int(pg.ncons)}x{int(pg.nvars)}x{len(np.asarray(pg.row_r))}" \
            f"-{h:08x}"
+
+
+#: fields NOT serialized by the partition cache — each is an exact gather
+#: of a stored array through a stored permutation (X_c = X_r[eperm_c];
+#: Y_h = Y_r[eperm_r2h]; eperm_r / eperm_h2r are the inverse permutations;
+#: padding maps to itself in every ordering, partition_graph pack()), so
+#: storing them would write ~30% more bytes to save a ~1 s/GB gather at
+#: load (VERDICT r04 item 6: the store wrote 2.4 GB of derivable arrays
+#: per 100M-edge graph).
+_CACHE_DERIVED = ("row_c", "col_c", "val_c", "eperm_r",
+                  "hval", "hrow", "hseg", "eperm_h2r")
+
+
+def _inverse_perm_rows(p: np.ndarray) -> np.ndarray:
+    """Row-wise inverse of a (D, E) stack of permutations, scatter-form."""
+    inv = np.empty_like(p)
+    ar = np.broadcast_to(np.arange(p.shape[1], dtype=p.dtype), p.shape)
+    np.put_along_axis(inv, p, ar, axis=1)
+    return inv
+
+
+def _store_partition(path: str, dg: "PartitionedGraph") -> None:
+    """Serialize ``dg`` minus the derivable fields (atomic rename)."""
+    import os
+    import pickle
+    state = {f.name: getattr(dg, f.name) for f in dataclasses.fields(dg)}
+    for k in _CACHE_DERIVED:
+        state[k] = None
+    state["__pcache_v2__"] = True
+    tmp = path + f".tmp{os.getpid()}"
+    with open(tmp, "wb") as f:
+        pickle.dump(state, f, protocol=pickle.HIGHEST_PROTOCOL)
+    os.replace(tmp, path)
+
+
+def _load_partition(path: str) -> "PartitionedGraph":
+    """Load a cached partition, rebuilding the derived orderings."""
+    import pickle
+    with open(path, "rb") as f:
+        obj = pickle.load(f)
+    if isinstance(obj, PartitionedGraph):   # pre-r05 full-object cache
+        return obj
+    assert obj.pop("__pcache_v2__", False), path
+    take = lambda x, p: np.take_along_axis(x, p, axis=1)
+    ep_c = obj["eperm_c"]
+    if ep_c is not None:
+        obj["row_c"] = take(obj["row_r"], ep_c)
+        obj["col_c"] = take(obj["col_r"], ep_c)
+        obj["val_c"] = take(obj["val_r"], ep_c)
+        obj["eperm_r"] = _inverse_perm_rows(ep_c)
+    ep_r2h = obj["eperm_r2h"]
+    if ep_r2h is not None:
+        obj["hval"] = take(obj["val_r"], ep_r2h)
+        obj["hrow"] = take(obj["row_r"], ep_r2h)
+        obj["hseg"] = take(obj["hcol_r"], ep_r2h)
+        obj["eperm_h2r"] = _inverse_perm_rows(ep_r2h)
+    return PartitionedGraph(**obj)
 
 
 def cached_partition_graph(pg: PaddedGraph, n_shards: int, halo: bool = False,
@@ -483,9 +548,10 @@ def cached_partition_graph(pg: PaddedGraph, n_shards: int, halo: bool = False,
     fingerprint, shard count, halo flag, explicit widths), stored beside
     the dataset's ``processed/`` blobs — the same role the reference's
     processed/*.pk cache plays for its host prep (dataset.py:178-224).
+    The store skips the derivable orderings (``_CACHE_DERIVED``); the load
+    rebuilds them exactly.
     """
     import os
-    import pickle
     if not cache_dir or not fn:
         return partition_graph(pg, n_shards, halo=halo, **kw)
     wid = "-".join(f"{k}{v}" for k, v in sorted(kw.items())
@@ -495,14 +561,10 @@ def cached_partition_graph(pg: PaddedGraph, n_shards: int, halo: bool = False,
            + f"-{_graph_fingerprint(pg)}.pk")
     path = os.path.join(cache_dir, key)
     if os.path.exists(path):
-        with open(path, "rb") as f:
-            return pickle.load(f)
+        return _load_partition(path)
     dg = partition_graph(pg, n_shards, halo=halo, **kw)
     os.makedirs(cache_dir, exist_ok=True)
-    tmp = path + f".tmp{os.getpid()}"
-    with open(tmp, "wb") as f:
-        pickle.dump(dg, f, protocol=pickle.HIGHEST_PROTOCOL)
-    os.replace(tmp, path)
+    _store_partition(path, dg)
     return dg
 
 
@@ -766,41 +828,43 @@ def dist_gcn_rand_apply(params, shard, ms, n_pad, ax, dp_rate=0.1,
 
 def _dist_gen_softmax_agg_local(logits, values, seg, num_seg, emask):
     """Shard-local segment softmax (dst side fully owned by this shard) —
-    same math as models/gen.py _segment_softmax_agg."""
+    same math as models/gen.py _segment_softmax_agg: input-dtype edge
+    streams, ONE fused num/den segment-sum with fp32 accumulation."""
     em = emask[:, None]
-    mx = jax.ops.segment_max(jnp.where(em, logits, -jnp.inf), seg,
+    ninf = jnp.array(-jnp.inf, logits.dtype)
+    mx = jax.ops.segment_max(jnp.where(em, logits, ninf), seg,
                              num_segments=num_seg, indices_are_sorted=True)
-    mx = jax.lax.stop_gradient(jnp.where(jnp.isfinite(mx), mx, 0.0))
-    ex = jnp.where(em, jnp.exp(logits - mx[seg]), 0.0)
-    den = jax.ops.segment_sum(ex, seg, num_segments=num_seg,
-                              indices_are_sorted=True)
-    # divide after aggregating (den constant per segment) — saves the
-    # (E, D) den gather + alpha materialization, same as models/gen.py
-    num = jax.ops.segment_sum(ex * values, seg, num_segments=num_seg,
-                              indices_are_sorted=True)
-    return num / jnp.maximum(den, 1e-16)
+    mx = jax.lax.stop_gradient(
+        jnp.where(jnp.isfinite(mx), mx, jnp.zeros((), logits.dtype)))
+    ex = jnp.where(em, jnp.exp(logits - mx[seg]), jnp.zeros((), logits.dtype))
+    stacked = jnp.concatenate([ex * values, ex], axis=1).astype(jnp.float32)
+    s = jax.ops.segment_sum(stacked, seg, num_segments=num_seg,
+                            indices_are_sorted=True)
+    d = values.shape[1]
+    return s[:, :d] / jnp.maximum(s[:, d:], 1e-16)
 
 
 def _dist_gen_softmax_agg_global(logits, values, seg, n_pad, emask, ax):
     """Cross-shard segment softmax over the full var axis: per-shard
-    segment max -> pmax; exp-sums and weighted sums -> psum_scatter. Exactly
-    the single-chip softmax aggregation (the per-segment denominator is
-    constant within a segment, so num/den == segsum(alpha * values))."""
+    segment max -> pmax; the fused num/den partials ride ONE psum_scatter
+    (models/gen.py _segment_softmax_agg semantics: the per-segment
+    denominator is constant within a segment, so num/den ==
+    segsum(alpha * values))."""
     em = emask[:, None]
-    mx_part = jax.ops.segment_max(jnp.where(em, logits, -jnp.inf), seg,
+    ninf = jnp.array(-jnp.inf, logits.dtype)
+    mx_part = jax.ops.segment_max(jnp.where(em, logits, ninf), seg,
                                   num_segments=n_pad, indices_are_sorted=True)
     # pmax has no differentiation rule; the shift's gradient is exactly
     # zero (models/gen.py stop-gradients the single-chip max identically)
     mx = jax.lax.pmax(jax.lax.stop_gradient(mx_part), ax)
-    mx = jnp.where(jnp.isfinite(mx), mx, 0.0)
-    ex = jnp.where(em, jnp.exp(logits - mx[seg]), 0.0)
-    den_part = jax.ops.segment_sum(ex, seg, num_segments=n_pad,
-                                   indices_are_sorted=True)
-    num_part = jax.ops.segment_sum(ex * values, seg, num_segments=n_pad,
-                                   indices_are_sorted=True)
-    den = jax.lax.psum_scatter(den_part, ax, scatter_dimension=0, tiled=True)
-    num = jax.lax.psum_scatter(num_part, ax, scatter_dimension=0, tiled=True)
-    return num / jnp.maximum(den, 1e-16)
+    mx = jnp.where(jnp.isfinite(mx), mx, jnp.zeros((), logits.dtype))
+    ex = jnp.where(em, jnp.exp(logits - mx[seg]), jnp.zeros((), logits.dtype))
+    stacked = jnp.concatenate([ex * values, ex], axis=1).astype(jnp.float32)
+    s_part = jax.ops.segment_sum(stacked, seg, num_segments=n_pad,
+                                 indices_are_sorted=True)
+    s = jax.lax.psum_scatter(s_part, ax, scatter_dimension=0, tiled=True)
+    d = values.shape[1]
+    return s[:, :d] / jnp.maximum(s[:, d:], 1e-16)
 
 
 def _gen_mlp(p, aggr, x_dst):
@@ -846,9 +910,8 @@ def _dist_gen_bidir_halo(p, shard, left, right, ms, n_pad, ax):
     xs = gather_src(right_cat, shard["hcol_r"], shard["hseg"],
                     shard["eperm_r2h"], C)
     msg = jax.nn.relu(xs + e_r) + EPS
-    msg32 = msg.astype(jnp.float32)
-    t_r = pr["t"].astype(jnp.float32)
-    aggr_c = _dist_gen_softmax_agg_local(msg32 * t_r, msg32, shard["row_r"],
+    t_r = pr["t"].astype(msg.dtype)
+    aggr_c = _dist_gen_softmax_agg_local(msg * t_r, msg, shard["row_r"],
                                          ms, emask)
     left_new = _gen_mlp(pr, aggr_c, x_dst_l)
 
@@ -860,11 +923,11 @@ def _dist_gen_bidir_halo(p, shard, left, right, ms, n_pad, ax):
     xs2 = gather_src(l_src, shard["hrow"], shard["row_r"],
                      shard["eperm_h2r"], ms)
     msg2 = jax.nn.relu(xs2 + e_c) + EPS
-    msg2_32 = msg2.astype(jnp.float32)
-    t_l = pl["t"].astype(jnp.float32)
-    logits = msg2_32 * t_l
+    t_l = pl["t"].astype(msg2.dtype)
+    logits = msg2 * t_l
     em = emask[:, None]
-    mx_part = jax.ops.segment_max(jnp.where(em, logits, -jnp.inf),
+    ninf = jnp.array(-jnp.inf, logits.dtype)
+    mx_part = jax.ops.segment_max(jnp.where(em, logits, ninf),
                                   shard["hseg"], num_segments=C,
                                   indices_are_sorted=True)
     mx_part = jax.lax.stop_gradient(mx_part)
@@ -876,17 +939,20 @@ def _dist_gen_bidir_halo(p, shard, left, right, ms, n_pad, ax):
         mx_part[:ns],
         jax.ops.segment_max(back[hp], hi, num_segments=ns,
                             indices_are_sorted=True))
-    mx_own = jnp.where(jnp.isfinite(mx_own), mx_own, 0.0)
+    mx_own = jnp.where(jnp.isfinite(mx_own), mx_own,
+                       jnp.zeros((), logits.dtype))
     mx_slots = jax.lax.stop_gradient(halo_gather(mx_own, hs, hp, hi, ax))
     mx_cat = jnp.concatenate([mx_own, mx_slots], axis=0)
-    ex = jnp.where(em, jnp.exp(logits - mx_cat[shard["hseg"]]), 0.0)
-    den_part = jax.ops.segment_sum(ex, shard["hseg"], num_segments=C,
-                                   indices_are_sorted=True)
-    num_part = jax.ops.segment_sum(ex * msg2_32, shard["hseg"],
-                                   num_segments=C, indices_are_sorted=True)
-    den = den_part[:ns] + halo_reduce(den_part[ns:], hs, hp, hi, ns, ax)
-    num = num_part[:ns] + halo_reduce(num_part[ns:], hs, hp, hi, ns, ax)
-    aggr_v = num / jnp.maximum(den, 1e-16)
+    ex = jnp.where(em, jnp.exp(logits - mx_cat[shard["hseg"]]),
+                   jnp.zeros((), logits.dtype))
+    # fused num/den: one (es, 2D) fp32-accumulating segment-sum and ONE
+    # halo_reduce of the stacked partials (models/gen.py semantics)
+    stacked = jnp.concatenate([ex * msg2, ex], axis=1).astype(jnp.float32)
+    s_part = jax.ops.segment_sum(stacked, shard["hseg"], num_segments=C,
+                                 indices_are_sorted=True)
+    s = s_part[:ns] + halo_reduce(s_part[ns:], hs, hp, hi, ns, ax)
+    dch = msg2.shape[1]
+    aggr_v = s[:, :dch] / jnp.maximum(s[:, dch:], 1e-16)
     right_new = _gen_mlp(pl, aggr_v, x_dst_r)
     return left_new, right_new
 
@@ -918,9 +984,8 @@ def _dist_gen_bidir(p, shard, left, right, ms, n_pad, ax):
     xs = gather_src(right_full, shard["col_r"], shard["col_c"],
                     shard["eperm_c"], n_pad)
     msg = jax.nn.relu(xs + e_r) + EPS
-    msg32 = msg.astype(jnp.float32)
-    t_r = pr["t"].astype(jnp.float32)
-    aggr_c = _dist_gen_softmax_agg_local(msg32 * t_r, msg32, shard["row_r"],
+    t_r = pr["t"].astype(msg.dtype)
+    aggr_c = _dist_gen_softmax_agg_local(msg * t_r, msg, shard["row_r"],
                                          ms, emask)
     left_new = _gen_mlp(pr, aggr_c, x_dst_l)
 
@@ -932,9 +997,8 @@ def _dist_gen_bidir(p, shard, left, right, ms, n_pad, ax):
     xs2 = gather_src(l_src, shard["row_c"], shard["row_r"],
                      shard["eperm_r"], ms)
     msg2 = jax.nn.relu(xs2 + e_c) + EPS
-    msg2_32 = msg2.astype(jnp.float32)
-    t_l = pl["t"].astype(jnp.float32)
-    aggr_v = _dist_gen_softmax_agg_global(msg2_32 * t_l, msg2_32,
+    t_l = pl["t"].astype(msg2.dtype)
+    aggr_v = _dist_gen_softmax_agg_global(msg2 * t_l, msg2,
                                           shard["col_c"], n_pad, emask, ax)
     right_new = _gen_mlp(pl, aggr_v, x_dst_r)
     return left_new, right_new

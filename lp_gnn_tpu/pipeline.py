@@ -200,18 +200,53 @@ def stage_train(cfg: Config) -> str:
 
 
 # ------------------------------------------------------------------ L5 stages
+# two-sided 90% Student-t critical values by degrees of freedom (df 1-30;
+# the normal 1.645 beyond) — self-contained so the gate does not depend on
+# scipy being installed
+_T90 = {1: 6.314, 2: 2.920, 3: 2.353, 4: 2.132, 5: 2.015, 6: 1.943,
+        7: 1.895, 8: 1.860, 9: 1.833, 10: 1.812, 11: 1.796, 12: 1.782,
+        13: 1.771, 14: 1.761, 15: 1.753, 16: 1.746, 17: 1.740, 18: 1.734,
+        19: 1.729, 20: 1.725, 25: 1.708, 30: 1.697}
+
+
+def _t_interval(xs) -> tuple[float, float, float]:
+    """(mean, lo, hi): two-sided 90% t-interval on the mean of ``xs``."""
+    n = len(xs)
+    mean = float(np.mean(xs))
+    if n < 2:
+        return mean, -np.inf, np.inf
+    sem = float(np.std(xs, ddof=1)) / np.sqrt(n)
+    df = n - 1
+    crit = _T90.get(df, min((_T90[c] for c in _T90 if c >= df),
+                            default=1.645))
+    return mean, mean - crit * sem, mean + crit * sem
+
+
 def calibrate_warm_gate(model, params, train_ds, cfg: Config, inf_mng,
-                        k: int = 5) -> dict:
-    """Measure the warm start's payback on up to ``k`` TRAIN-split LPs.
+                        k: int | None = None) -> dict:
+    """Measure the warm start's payback on TRAIN-split LPs, adaptively.
 
     The system-policy gate (VERDICT r03 item 2): decode each calibration
     LP with the configured inference manager, warm-start the solver from
     it, and compare iterations against the cold log the prep stage already
-    recorded. ``proceed`` is True only when the measured mean improvement
-    is positive — repair-dominated families (short cold solves where the
+    recorded. Repair-dominated families (short cold solves where the
     basis-repair fixed cost cannot pay, e.g. demo-tier svm/stoch,
     RESULTS.md family table) measure negative here and the val warm starts
     are declined, so no family regresses below its cold baseline.
+
+    Decision rule (VERDICT r04 item 3 — the fixed k=5 mean>0 rule made
+    decisions inside its own noise on heterogeneous families, per-LP
+    calibration spreads of ±60%): starting at ``cfg.warm_gate_k`` LPs,
+    keep sampling while the two-sided 90% t-interval on the mean
+    improvement straddles 0, up to ``cfg.warm_gate_kmax``; DECLINE only
+    when the interval's upper bound is <= 0 (measured harm), PROCEED when
+    the lower bound is > 0 or the budget runs out with the interval still
+    straddling 0 (ambiguity is not evidence of harm — the warm start is
+    the system's default behavior). A failed warm solve scores
+    impr = -1.0 (one full cold solve wasted; bounded, unlike the old
+    cold*2 score that let a single failure outweigh four strong
+    positives, ADVICE r04) and is also counted in ``failures``.
+
     Calibration uses only training data (no val leakage); note the model
     has seen these LPs, so the estimate is optimistic — a family gated out
     by its own training split is unambiguously negative.
@@ -231,10 +266,16 @@ def calibrate_warm_gate(model, params, train_ds, cfg: Config, inf_mng,
     mesh = mesh_from_cfg(cfg)
     dist_cache: dict = {}
     part_dir = part_cache_dir(cfg)
+    k_min = k if k is not None else int(getattr(cfg, "warm_gate_k", 5))
+    k_max = max(int(getattr(cfg, "warm_gate_kmax", 12)), k_min)
     lps, imprs = [], []
+    failures = 0
+    mean_impr, lo, hi = 0.0, -np.inf, np.inf
     for i in range(len(train_ds)):
-        if len(lps) >= k:
-            break
+        if len(lps) >= k_min:
+            mean_impr, lo, hi = _t_interval(imprs)
+            if lo > 0.0 or hi <= 0.0 or len(lps) >= k_max:
+                break   # interval excludes 0, or budget exhausted
         g = train_ds[i]
         cold_log = (f"{cfg.dataset_prefix}/log/"
                     f"{cfg.solver_prefix}no-bas{sfx}/{g.fn}.log")
@@ -258,18 +299,29 @@ def calibrate_warm_gate(model, params, train_ds, cfg: Config, inf_mng,
         write_bas_highs(bas, vbas=pred[g.ncons:], cbas=pred[:g.ncons])
         res = solve_mps(mps, method=method, basis_in_path=bas,
                         log_path=osp.join(calib_log_dir, f"{g.fn}.log"))
-        warm = res.niter if res.niter >= 0 else cold_niter * 2  # failed warm
-        impr = (cold_niter - warm) / max(cold_niter, 1)
+        if res.niter >= 0:
+            impr = (cold_niter - res.niter) / max(cold_niter, 1)
+        else:
+            impr = -1.0   # failed warm start = one cold solve wasted
+            failures += 1
         imprs.append(impr)
         lps.append({"fn": g.fn, "cold_niter": int(cold_niter),
                     "warm_niter": int(res.niter), "impr": float(impr)})
-    mean_impr = float(np.mean(imprs)) if imprs else 0.0
-    gate = {"proceed": bool(imprs) and mean_impr > 0.0,
-            "mean_impr": mean_impr, "k": len(lps), "lps": lps,
-            "decode": inf_mng.get_basis_folder()}
-    logging.info("warm gate: %s (mean train impr %+.1f%% over %d LPs)",
-                 "PROCEED" if gate["proceed"] else "DECLINE",
-                 100 * mean_impr, len(lps))
+    if imprs:
+        mean_impr, lo, hi = _t_interval(imprs)
+    # DECLINE only on measured harm (upper bound <= 0); no data => proceed
+    # (nothing to calibrate on is not evidence against the warm start)
+    gate = {"proceed": not (imprs and hi <= 0.0),
+            "mean_impr": mean_impr,
+            "ci90": [float(lo), float(hi)], "k": len(lps),
+            "k_min": k_min, "k_max": k_max, "failures": failures,
+            "rule": "decline iff 90% t-interval upper bound <= 0",
+            "lps": lps, "decode": inf_mng.get_basis_folder()}
+    logging.info(
+        "warm gate: %s (mean train impr %+.1f%%, 90%% CI [%+.1f%%, %+.1f%%] "
+        "over %d LPs, %d failed warm solves)",
+        "PROCEED" if gate["proceed"] else "DECLINE", 100 * mean_impr,
+        100 * lo, 100 * hi, len(lps), failures)
     return gate
 
 

@@ -65,16 +65,35 @@ def extract_time(out: str):
     return -2, -2
 
 
+def basis_folder_for_log(log_folder: str) -> str:
+    """Invert ``InferenceManager.get_log_folder`` (plus the ``-m{method}``
+    suffix ``stage_warm_start`` appends for non-dual methods): the
+    ``gnn-bas-{run}`` log folders map to ``pred-basis[-{run}]``; the
+    all-slacks / sparsity decodes use one name for logs and bases.
+
+    The reference hard-codes ``pred-basis`` (utils.py:587); this repo
+    generalized the basis folders (decode.InferenceManager), so the repair
+    columns must resolve the right one for ``run>0`` and sparsity decodes."""
+    name = re.sub(r"-m\d+$", "", log_folder)
+    m = re.fullmatch(r"gnn-bas-(\d+)", name)
+    if m:
+        run = int(m.group(1))
+        return "pred-basis" if run == 0 else f"pred-basis-{run}"
+    return name
+
+
 def extract_nrepair(out: str):
     """(num_basis, n_slack_basis_begin, n_add_slack) for a warm-start log
     (reference utils.py:571-597): n_add_slack from the 'Rank_deficiency N'
     line printed by the native runtime during basis repair; the starting
-    composition is read from the matching pred-basis file."""
+    composition is read from the predicted-basis file matching the log's
+    folder (``basis_folder_for_log``)."""
     lines = _read_lines(out)
     num_basis, n_slack_begin, n_add_slack = -1, -1, -1
     n_add_slack = 0
     if out.endswith(".log"):
-        pred_basis = f"{osp.dirname(out)}/../../pred-basis/{extract_fn(out)}.bas"
+        folder = basis_folder_for_log(osp.basename(osp.dirname(out)))
+        pred_basis = f"{osp.dirname(out)}/../../{folder}/{extract_fn(out)}.bas"
         if osp.exists(pred_basis):
             cs, _vs = read_bas_highs(pred_basis)
             num_basis = len(cs)
@@ -112,15 +131,25 @@ def map_back_to_baseline(log_fdl_nm: str, solver_pref: str = "highs-") -> str:
     return f"{solver_pref}no-bas"
 
 
+#: log/ subdirectories that are NOT solve methods and must not become
+#: time.h5 summary columns: the warm-gate calibration logs are measured on
+#: TRAIN-split LPs (pipeline.calibrate_warm_gate) and would pollute the
+#: val-split aggregates with spurious niter/time rows.
+NON_METHOD_LOG_DIRS = ("warm-gate-calib",)
+
+
 def collect_results(log_dir: str, time_h5: str, solver_prefix: str = "highs-",
                     mps_names=None) -> pd.DataFrame:
     """Walk ``{log_dir}/log/*/*.log`` into time.h5 columns
     ``{method}/niter|time`` plus repair/fact columns for gnn logs, then
     compute ``impr_*`` vs the matched cold baseline
-    (reference scripts/extract_time.py:47-92)."""
+    (reference scripts/extract_time.py:47-92). Non-method folders
+    (``NON_METHOD_LOG_DIRS``) are excluded from the sweep."""
     df = df_load(time_h5)
     log_root = osp.join(log_dir, "log")
-    methods = sorted(os.listdir(log_root)) if osp.isdir(log_root) else []
+    methods = sorted(d for d in os.listdir(log_root)
+                     if d not in NON_METHOD_LOG_DIRS) \
+        if osp.isdir(log_root) else []
     names = mps_names if mps_names is not None else list(df.fn)
     for fn in names:
         for method in methods:

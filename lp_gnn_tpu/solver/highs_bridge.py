@@ -42,6 +42,11 @@ class SolveResult:
     row_status: np.ndarray      # (m,) int
     log: str
     basis_rejected: bool = False  # warm basis refused -> solve ran cold
+    # populated only with solve_lp(want_solution=True) — used by the
+    # degeneracy probe (scripts/degeneracy_probe.py)
+    col_value: np.ndarray | None = None
+    col_dual: np.ndarray | None = None   # reduced costs
+    row_dual: np.ndarray | None = None
 
 
 def _lp_to_highs(lp: LPData):
@@ -71,7 +76,8 @@ def _statuses_to_ints(stats) -> np.ndarray:
 
 
 def solve_lp(lp: LPData, method: int = 1, basis_in=None,
-             random_seed: int = 0, time_limit: float | None = None) -> SolveResult:
+             random_seed: int = 0, time_limit: float | None = None,
+             want_solution: bool = False) -> SolveResult:
     """Solve an LP with simplex, presolve off (reference run_solver.py:30).
 
     method: 1 = dual simplex, 4 = primal simplex (the fork's -ss flag).
@@ -116,10 +122,17 @@ def solve_lp(lp: LPData, method: int = 1, basis_in=None,
     log_status = "WarmBasisRejected (ran cold)" if rejected else status
     log = _format_log(log_status, info.simplex_iteration_count, dt,
                       info.objective_function_value)
+    cv = cd = rd_ = None
+    if want_solution:
+        sol = h.getSolution()
+        cv = np.asarray(sol.col_value, dtype=np.float64)
+        cd = np.asarray(sol.col_dual, dtype=np.float64)
+        rd_ = np.asarray(sol.row_dual, dtype=np.float64)
     return SolveResult(status=status, niter=int(info.simplex_iteration_count),
                        run_time=dt, objective=float(info.objective_function_value),
                        col_status=col_status, row_status=row_status, log=log,
-                       basis_rejected=rejected)
+                       basis_rejected=rejected, col_value=cv, col_dual=cd,
+                       row_dual=rd_)
 
 
 def _format_log(status: str, niter: int, run_time: float, obj: float) -> str:

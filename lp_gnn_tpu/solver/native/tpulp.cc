@@ -725,11 +725,47 @@ struct Solver {
 
   // ---------------------------------------------------------------- primal
   // Returns Result. phase1: minimize total bound violation of basics.
+  //
+  // r05 (VERDICT item 4): the r4 loop used Dantzig pricing with a full
+  // reduced-cost recompute (BTRAN + O(nnz) column sweep) every iteration
+  // and needed 2.06x HiGHS's primal iterations on mirp_bench. This loop
+  // ports the dual loop's pricing discipline to the primal side:
+  //  - PRIMAL DEVEX (column-space Forrest-Goldfarb, the mirror of the
+  //    dual loop's row weights): entering column maximizes d_j^2/omega_j,
+  //    omega_j' = max(omega_j, (alpha_rj/alpha_rq)^2 omega_q) updated
+  //    from the pivot row, leaving column omega = max(omega_q/alpha^2, 1);
+  //  - incremental reduced costs in phase 2 (d'_j = d_j - theta_d
+  //    alpha_rj over the pivot row's touched columns only, rebuilt after
+  //    refactorizations to bound drift — the dual loop's `ad` discipline);
+  //  - the pivot row comes from a hyper-sparse BTRAN of e_r walked
+  //    row-wise over A (CSR mirror), and the ratio-test/update scans run
+  //    over the entering column FTRAN's support list, not O(m) sweeps.
+  // Composite phase-1 costs change with the infeasible set, so phase-1
+  // iterations rebuild d (warm starts spend few iterations there); the
+  // devex weights persist across rebuilds.
   int primal(bool phase1_allowed) {
-    std::vector<double> y(m), w(m), costv, spike(m);
+    std::vector<double> y(m), w(m), rho(m), spike(m), costv;
     std::vector<std::pair<int, double>> colbuf;
+    std::vector<double> pd(N, 0.0);    // reduced costs for current costv
+    std::vector<double> pw(N, 1.0);    // primal devex weights
+    std::vector<double> aval(N, 0.0);  // pivot-row alphas (atouch-scoped)
+    std::vector<char> amark(N, 0);
+    std::vector<int> atouch, support, wsupp, rho_supp;
+    atouch.reserve(256), support.reserve(256);
+    wsupp.reserve(256), rho_supp.reserve(256);
     int stall = 0;
     bool bland = false;
+    bool d_valid = false;
+    bool last_phase1 = false;
+
+    auto rebuild_pd = [&]() {
+      for (int k = 0; k < m; ++k) y[k] = costv[basic[k]];
+      btran(y);
+      for (int j = 0; j < N; ++j)
+        pd[j] = (vstat[j] == BASIC) ? 0.0 : reduced_cost(j, y, costv);
+      d_valid = true;
+    };
+
     for (;;) {
       if (niter >= max_iter) return ITERLIMIT;
       // classify infeasibilities
@@ -741,40 +777,36 @@ struct Solver {
       }
       bool phase1 = tot_infeas > FEAS_TOL;
       if (phase1 && !phase1_allowed) return NUMFAIL;
-      // cost vector for this iteration
-      costv.assign(N, 0.0);
       if (phase1) {
+        costv.assign(N, 0.0);
         for (int k = 0; k < m; ++k) {
           int j = basic[k];
           if (x[j] < lo[j] - FEAS_TOL) costv[j] = -1.0;
           else if (x[j] > hi[j] + FEAS_TOL) costv[j] = 1.0;
         }
-      } else {
+        rebuild_pd();
+      } else if (last_phase1 || !d_valid) {
         costv = cost;
+        rebuild_pd();
       }
-      // y = B^-T c_B
-      for (int k = 0; k < m; ++k) y[k] = costv[basic[k]];
-      btran(y);
-      // pricing
+      last_phase1 = phase1;
+      // pricing: devex-weighted violation d^2/omega (Bland fallback keeps
+      // the anti-cycling guarantee)
       int q = -1;
-      double best = bland ? 0.0 : DUAL_TOL;
+      double bestscore = 0.0;
       int dirq = 0;
       for (int j = 0; j < N; ++j) {
-        if (vstat[j] == BASIC) continue;
-        if (lo[j] == hi[j]) continue;  // fixed
-        double d = reduced_cost(j, y, costv);
-        double viol = 0.0;
+        if (vstat[j] == BASIC || lo[j] == hi[j]) continue;
+        double d = pd[j];
         int dir = 0;
-        if (vstat[j] == LL || (vstat[j] == FZ && d < 0)) {
-          if (d < -DUAL_TOL) { viol = -d; dir = +1; }
-        }
-        if (vstat[j] == UL || (vstat[j] == FZ && d > 0)) {
-          if (d > DUAL_TOL) { viol = d; dir = -1; }
-        }
-        if (dir != 0) {
-          if (bland) { q = j; dirq = dir; break; }
-          if (viol > best) { best = viol; q = j; dirq = dir; }
-        }
+        if ((vstat[j] == LL || (vstat[j] == FZ && d < 0)) && d < -DUAL_TOL)
+          dir = +1;
+        else if ((vstat[j] == UL || (vstat[j] == FZ && d > 0)) && d > DUAL_TOL)
+          dir = -1;
+        if (dir == 0) continue;
+        if (bland) { q = j; dirq = dir; break; }
+        double score = d * d / pw[j];
+        if (score > bestscore) { bestscore = score; q = j; dirq = dir; }
       }
       if (q < 0) {
         return phase1 ? INFEASIBLE : OPTIMAL;
@@ -783,8 +815,13 @@ struct Solver {
       col_of(q, colbuf);
       std::fill(w.begin(), w.end(), 0.0);
       for (auto& e : colbuf) w[e.first] = e.second;
-      ftran(w, &spike);   // spike = H^-1 a_q feeds the FT update on pivot
-      // ratio test
+      wsupp.clear();
+      if (!ftran(w, &spike, &wsupp)) {   // spike feeds ft_update on pivot
+        wsupp.clear();
+        for (int k = 0; k < m; ++k)
+          if (w[k] != 0.0) wsupp.push_back(k);
+      }
+      // ratio test over w's support only
       double limit = INF;
       if (std::isfinite(hi[q]) && std::isfinite(lo[q]))
         limit = hi[q] - lo[q];  // bound flip
@@ -796,7 +833,7 @@ struct Solver {
         double tbest = t_max;
         double bestpiv = 0.0;
         int rb = -1, lt = 0;
-        for (int k = 0; k < m; ++k) {
+        for (int k : wsupp) {
           double rate = -dirq * w[k];   // dx_basic[k]/dt
           if (std::fabs(rate) < PIVOT_TOL) continue;
           int j = basic[k];
@@ -815,7 +852,6 @@ struct Solver {
           }
           if (t == INF) continue;
           if (t < 0) t = 0;
-          double slack = pass == 0 ? FEAS_TOL / std::max(std::fabs(rate), 1e-12) : 0.0;
           if (pass == 0) {
             if (t < tbest) tbest = t;
           } else {
@@ -824,7 +860,6 @@ struct Solver {
               if (piv > bestpiv) { bestpiv = piv; rb = k; lt = to; }
             }
           }
-          (void)slack;
         }
         if (pass == 0) {
           t_max = tbest;
@@ -840,11 +875,12 @@ struct Solver {
       double t = std::min(t_max, limit);
       // apply step
       if (t > 0) {
-        for (int k = 0; k < m; ++k) x[basic[k]] -= t * dirq * w[k];
+        for (int k : wsupp) x[basic[k]] -= t * dirq * w[k];
         x[q] += t * dirq;
       }
       // bound flip when the entering variable reaches its opposite bound
-      // before any basic variable blocks (or no basic blocks at all)
+      // before any basic variable blocks (or no basic blocks at all).
+      // No basis change: phase-2 reduced costs stay valid as-is.
       if (limit < t_max || rleave < 0) {
         if (limit == INF) return NUMFAIL;  // defensive: nothing blocked
         vstat[q] = (vstat[q] == LL) ? UL : LL;
@@ -852,8 +888,64 @@ struct Solver {
         stall = 0;
         continue;
       }
-      // pivot: q enters at basis position rleave
+      // pivot row rho = B^-T e_r, alphas walked row-wise over rho's
+      // support (the dual loop's hyper-sparse pricing pattern)
+      std::fill(rho.begin(), rho.end(), 0.0);
+      rho[rleave] = 1.0;
+      bool rho_sparse = btran(rho, &rho_supp);
+      support.clear();
+      if (rho_sparse) {
+        for (int p : rho_supp) {
+          int i = pivrow[p];
+          if (rho[i] != 0.0) support.push_back(i);
+        }
+      } else {
+        for (int i = 0; i < m; ++i)
+          if (rho[i] != 0.0) support.push_back(i);
+      }
+      for (int j : atouch) amark[j] = 0;
+      atouch.clear();
+      for (int i : support) {
+        double ri = rho[i];
+        for (int k2 = Rp[i]; k2 < Rp[i + 1]; ++k2) {
+          int j = Rj[k2];
+          if (!amark[j]) { amark[j] = 1; aval[j] = 0.0; atouch.push_back(j); }
+          aval[j] += ri * Rx[k2];
+        }
+        int jlog = n + i;  // logical column of row i: W_{n+i} = -e_i
+        if (!amark[jlog]) {
+          amark[jlog] = 1; aval[jlog] = 0.0; atouch.push_back(jlog);
+        }
+        aval[jlog] -= ri;
+      }
       int jl = basic[rleave];
+      double aq = aval[q];   // pivot-row entry of the entering column
+      if (std::fabs(aq) < PIVOT_TOL)
+        aq = (aq < 0 ? -PIVOT_TOL : PIVOT_TOL);  // defensive
+      if (!phase1) {
+        // incremental reduced costs: y' = y + theta_d rho  =>
+        // d'_j = d_j - theta_d alpha_j on the touched columns only
+        double theta_d = pd[q] / aq;
+        for (int j : atouch) {
+          if (vstat[j] == BASIC || lo[j] == hi[j]) continue;
+          pd[j] -= theta_d * aval[j];
+        }
+        pd[q] = 0.0;
+        pd[jl] = -theta_d;   // alpha_jl = 1 (own basis column)
+      }
+      // primal devex update (column-space mirror of the dual loop's
+      // gamma update); reset the reference framework when weights go stale
+      double gq = pw[q];
+      double aq2 = aq * aq;
+      for (int j : atouch) {
+        if (j == q || vstat[j] == BASIC) continue;
+        double cand = (aval[j] * aval[j] / aq2) * gq;
+        if (cand > pw[j]) pw[j] = cand;
+      }
+      pw[jl] = std::max(gq / aq2, 1.0);
+      if (pw[jl] > 1e8 || gq > 1e8)
+        std::fill(pw.begin(), pw.end(), 1.0);
+      // pivot: q enters at basis position rleave
       vstat[jl] = leave_to;
       // snap leaving variable exactly to its bound
       x[jl] = status_value(jl);
@@ -862,7 +954,10 @@ struct Solver {
       pos_in_basis[q] = rleave;
       vstat[q] = BASIC;
       if (t <= 1e-12) {
-        if (++stall > 400) bland = true;
+        if (++stall > 400 && !bland) {
+          bland = true;
+          if (!phase1) rebuild_pd();
+        }
       } else {
         stall = 0;
         bland = false;
@@ -870,6 +965,7 @@ struct Solver {
       if (!ft_update(rleave, spike) || need_refresh()) {
         if (factorize(false) != 0) return NUMFAIL;
         compute_xb();
+        d_valid = false;   // rebuilt at the top of the next iteration
       }
     }
   }

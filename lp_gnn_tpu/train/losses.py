@@ -37,10 +37,14 @@ def labels_to_balanced_weights(labels, mask, merge_lu: bool = True):
     return jnp.where(use_merged, merged, wei)
 
 
-def _weighted_ce(logits, labels, mask, weights):
-    """torch CrossEntropyLoss(weight=w) semantics: sum(w_y * ce) / sum(w_y)."""
+def _weighted_ce(logits, labels, mask, weights, node_w=None):
+    """torch CrossEntropyLoss(weight=w) semantics: sum(w_y * ce) / sum(w_y).
+    ``node_w`` optionally multiplies per-node weights into w_y (the
+    normalization includes them, keeping the loss scale stable)."""
     ce = _ce_per_node(logits, labels)
     w = weights[labels] * mask.astype(jnp.float32)
+    if node_w is not None:
+        w = w * node_w
     return jnp.sum(w * ce) / jnp.maximum(jnp.sum(w), 1e-12)
 
 
@@ -73,4 +77,45 @@ def focal(logit_cons, logit_vars, y_s, y_t, mask_s, mask_t, gamma: float = 2.0):
     return (1.0 - pt) ** gamma * ce
 
 
-LOSS_REGISTRY = {"unbalanced": unbalanced, "balanced": balanced, "focal": focal}
+def critical(logit_cons, logit_vars, y_s, y_t, mask_s, mask_t,
+             alpha: float = 4.0, tau: float = 0.05):
+    """Basis-criticality-weighted balanced CE (VERDICT r05 item 7, the
+    one measured model-side attempt at the heterogeneity cliff).
+
+    The r3 depth-5 cell showed per-node accuracy is not the objective:
+    WHICH ~7% of nodes are wrong decides the warm start's repair cost. The
+    decode (top-m by P(basic), infer/decode.py inference_gnn) flips
+    exactly at the m-th-largest P(basic), so nodes whose predicted
+    P(basic) sits near that in-batch threshold are the ones whose errors
+    change the decoded basis. This loss multiplies the balanced per-class
+    weights by ``1 + alpha * exp(-(p - theta)^2 / (2 tau^2))`` with
+    ``theta`` the decode threshold, both under stop_gradient — a
+    criticality WEIGHTING of the same objective, not a new objective
+    (reference train.py:18-53 is where the reference expresses such
+    choices). Costs one sort over the padded nodes per step (~half the
+    gated per-step decode's two argsorts, RESULTS.md r4 ~2.4%)."""
+    lc = logit_cons.astype(jnp.float32)
+    lv = logit_vars.astype(jnp.float32)
+    p = jax.nn.softmax(jnp.concatenate([lc, lv]), axis=-1)[:, 1]
+    mask = jnp.concatenate([mask_s, mask_t])
+    # decode budget = number of real constraint rows (basis size)
+    m_int = jnp.sum(mask_s).astype(jnp.int32)
+    pm = jnp.where(mask, p, -jnp.inf)
+    s = jnp.sort(pm)[::-1]
+    theta = s[jnp.clip(m_int - 1, 0, s.shape[0] - 1)]
+    w_crit = 1.0 + alpha * jnp.exp(-(p - theta) ** 2 / (2.0 * tau * tau))
+    w_crit = jax.lax.stop_gradient(jnp.where(jnp.isfinite(w_crit), w_crit, 1.0))
+    m = jnp.sum(mask_s).astype(jnp.float32)
+    n = jnp.sum(mask_t).astype(jnp.float32)
+    w_s = labels_to_balanced_weights(y_s, mask_s)
+    w_t = labels_to_balanced_weights(y_t, mask_t)
+    nc = lc.shape[0]
+    loss = (m + n) / jnp.maximum(m, 1.0) * _weighted_ce(
+        logit_cons, y_s, mask_s, w_s, node_w=w_crit[:nc])
+    loss += (m + n) / jnp.maximum(n, 1.0) * _weighted_ce(
+        logit_vars, y_t, mask_t, w_t, node_w=w_crit[nc:])
+    return loss
+
+
+LOSS_REGISTRY = {"unbalanced": unbalanced, "balanced": balanced,
+                 "focal": focal, "critical": critical}

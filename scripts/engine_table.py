@@ -64,6 +64,11 @@ def main():
             warm.append(rw.niter)
             tc.append(t_c)
             tw.append(t_w)
+        if not cold:
+            # every solve failed: an all-NaN row would read as silent data;
+            # record the failure count explicitly instead
+            rows[eng] = {"n": 0, "failed": failed}
+            continue
         c, w = np.mean(cold), np.mean(warm)
         rows[eng] = {"cold_niter": round(float(c), 1),
                      "warm_niter": round(float(w), 1),

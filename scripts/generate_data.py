@@ -34,6 +34,18 @@ SIZES = {
                      tightness_range=(0.8, 1.2)),
         "bench": dict(),   # generator defaults: the reference-population mix
     },
+    "mirp_degen": {
+        # degeneracy-controlled mirp (VERDICT r04 item 2): bench-tier
+        # structure fixed to the mirp_bench knobs, the dataset *name*
+        # selects the dual-degeneracy level
+        "small": dict(n_ports=4, n_periods=6, degeneracy=0.5),
+        "bench_d3": dict(n_ports=30, n_periods=60, arc_density=0.3,
+                         degeneracy=0.3),
+        "bench_d6": dict(n_ports=30, n_periods=60, arc_density=0.3,
+                         degeneracy=0.6),
+        "bench_d9": dict(n_ports=30, n_periods=60, arc_density=0.3,
+                         degeneracy=0.9),
+    },
     "transport": {
         "small": dict(m_src=6, n_dst=9),
         "demo": dict(m_src=40, n_dst=60),

@@ -461,3 +461,52 @@ def test_missing_dataset_clean_error(tmp_path):
                  log_prefix=str(tmp_path / "runs")).finalize()
     with pytest.raises(ValueError, match="no mps under"):
         pipeline.stage_run_solver(cfg)
+
+
+def test_warm_gate_t_interval():
+    """The adaptive gate's 90% t-interval (VERDICT r04 item 3): the
+    documented mirp_mix_s80 calibration spread [+69,+18,-52,+71,-54]%
+    straddles 0 (PROCEED under 'decline iff UCB<=0'); a consistently
+    negative family's interval sits below 0 (DECLINE)."""
+    import numpy as np
+    from lp_gnn_tpu.pipeline import _t_interval
+    mean, lo, hi = _t_interval([0.69, 0.18, -0.52, 0.71, -0.54])
+    assert np.isclose(mean, 0.104)
+    assert lo < 0 < hi          # ambiguous: the gate must NOT decline
+    mean, lo, hi = _t_interval([-0.2, -0.3, -0.25, -0.28, -0.22])
+    assert hi < 0               # measured harm: DECLINE
+    mean, lo, hi = _t_interval([0.0] * 5)
+    assert lo == hi == 0.0      # zero-variance: exactly 0 => UCB<=0, DECLINE
+    # n=1 carries no interval
+    _, lo, hi = _t_interval([0.5])
+    assert lo == -np.inf and hi == np.inf
+
+
+def test_timed_inference_median_of_3(tiny_cfg, monkeypatch):
+    """inf_time is the median of 3 timed dispatches after one warm-up
+    (VERDICT r04 item 10) — 4 model_inference calls per LP."""
+    import dataclasses
+    import numpy as np
+    from lp_gnn_tpu.data.dataset import LPDataset, split_train_val
+    from lp_gnn_tpu.models.gcn import build_model
+    from lp_gnn_tpu.infer import predict as P
+
+    import jax
+    cfg = dataclasses.replace(tiny_cfg, exp_nm="t-timed")
+    cfg.finalize()
+    model = build_model("GCNRand()")
+    params = model.init(jax.random.PRNGKey(0))
+    ds = LPDataset(cfg.dataset_processed_prefix)
+    _, val_ds = split_train_val(ds, cfg.seed)
+    calls = {"n": 0}
+    orig = P.model_inference
+
+    def counted(*a, **k):
+        calls["n"] += 1
+        return orig(*a, **k)
+
+    monkeypatch.setattr(P, "model_inference", counted)
+    times = P.timed_inference(model, params, val_ds, cfg)
+    assert len(times) == len(val_ds)
+    assert calls["n"] == 4 * len(val_ds)
+    assert all(t > 0 for t in times.values())
