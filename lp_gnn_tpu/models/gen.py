@@ -60,14 +60,21 @@ def _segment_softmax_agg(logits, values, seg, num_seg, emask):
     # differentiable, parallel/edge_partition.py)
     mx = jax.lax.stop_gradient(mx)
     ex = jnp.where(em, jnp.exp(logits - mx[seg]), jnp.zeros((), logits.dtype))
-    # fp32 ACCUMULATION over the low-precision edge stream: the cast is
-    # element-wise and fuses into the scatter's operand, so HBM still only
-    # carries the input-dtype tensors
-    stacked = jnp.concatenate([ex * values, ex], axis=1).astype(jnp.float32)
-    s = jax.ops.segment_sum(stacked, seg, num_segments=num_seg,
-                            indices_are_sorted=True)
-    d = values.shape[1]
-    return s[:, :d] / jnp.maximum(s[:, d:], 1e-16)
+    import os
+    if os.environ.get("LP_GNN_GEN_FUSE", "1") == "1":
+        # fp32 ACCUMULATION over the low-precision edge stream: the cast is
+        # element-wise and fuses into the scatter's operand, so HBM still
+        # only carries the input-dtype tensors
+        stacked = jnp.concatenate([ex * values, ex], axis=1).astype(jnp.float32)
+        s = jax.ops.segment_sum(stacked, seg, num_segments=num_seg,
+                                indices_are_sorted=True)
+        d = values.shape[1]
+        return s[:, :d] / jnp.maximum(s[:, d:], 1e-16)
+    num = jax.ops.segment_sum((ex * values).astype(jnp.float32), seg,
+                              num_segments=num_seg, indices_are_sorted=True)
+    den = jax.ops.segment_sum(ex.astype(jnp.float32), seg,
+                              num_segments=num_seg, indices_are_sorted=True)
+    return num / jnp.maximum(den, 1e-16)
 
 
 def gen_dir_init(key, d_src: int, d_dst: int, d_out: int):

@@ -753,6 +753,9 @@ struct Solver {
     std::vector<int> atouch, support, wsupp, rho_supp;
     atouch.reserve(256), support.reserve(256);
     wsupp.reserve(256), rho_supp.reserve(256);
+    struct Bp { double t, drop; int k, to; };
+    std::vector<Bp> bps;
+    bps.reserve(256);
     int stall = 0;
     bool bland = false;
     bool d_valid = false;
@@ -828,6 +831,63 @@ struct Solver {
       int rleave = -1;
       double t_max = limit;
       int leave_to = 0;
+      if (phase1) {
+        // LONG-STEP (piecewise-linear) phase-1 ratio test — the primal
+        // mirror of the dual loop's BFRT. The phase-1 objective is
+        // piecewise linear in the step t: its descent slope starts at
+        // |d_q| and DROPS by |rate_k| at every bound crossing of a basic
+        // (an infeasible basic crossing into feasibility stops paying, a
+        // feasible one crossing out starts paying). Stopping at the FIRST
+        // breakpoint (the r4 behavior) took steps of one crossing each and
+        // measured 18.5K phase-1 iterations on a bench-tier mirp LP; the
+        // long step walks breakpoints in ratio order while the slope stays
+        // positive and leaves the basic at which it first turns.
+        bps.clear();
+        for (int k : wsupp) {
+          double rate = -dirq * w[k];   // dx_basic[k]/dt
+          if (std::fabs(rate) < PIVOT_TOL) continue;
+          int j = basic[k];
+          bool below = x[j] < lo[j] - FEAS_TOL;
+          bool above = x[j] > hi[j] + FEAS_TOL;
+          if (rate > 0) {    // x_j rises: breakpoints at lo (if below), hi
+            if (below) {
+              bps.push_back({(lo[j] - x[j]) / rate, rate, k, LL});
+              if (std::isfinite(hi[j]))
+                bps.push_back({(hi[j] - x[j]) / rate, rate, k, UL});
+            } else if (!above && std::isfinite(hi[j])) {
+              bps.push_back({(hi[j] - x[j]) / rate, rate, k, UL});
+            }   // above & rising: infeasibility only grows, no breakpoint
+          } else {           // x_j falls: breakpoints at hi (if above), lo
+            double r2 = -rate;
+            if (above) {
+              bps.push_back({(x[j] - hi[j]) / r2, r2, k, UL});
+              if (std::isfinite(lo[j]))
+                bps.push_back({(x[j] - lo[j]) / r2, r2, k, LL});
+            } else if (!below && std::isfinite(lo[j])) {
+              bps.push_back({(x[j] - lo[j]) / r2, r2, k, LL});
+            }
+          }
+        }
+        auto bp_cmp = [](const Bp& a, const Bp& b) { return a.t > b.t; };
+        std::make_heap(bps.begin(), bps.end(), bp_cmp);
+        double slope = std::fabs(pd[q]);
+        size_t nleft = bps.size();
+        t_max = INF;
+        while (nleft > 0) {
+          std::pop_heap(bps.begin(), bps.begin() + nleft, bp_cmp);
+          const Bp bp = bps[--nleft];
+          double t_bp = bp.t < 0 ? 0.0 : bp.t;
+          if (t_bp > limit) break;   // the entering variable flips first
+          slope -= bp.drop;
+          if (slope <= 1e-9) {
+            rleave = bp.k;
+            leave_to = bp.to;
+            t_max = t_bp;
+            break;
+          }
+        }
+        if (rleave < 0) t_max = limit < INF ? limit : INF;
+      } else
       // pass 1: min ratio with tolerance; pass 2: best pivot among near-min
       for (int pass = 0; pass < 2; ++pass) {
         double tbest = t_max;
@@ -878,6 +938,22 @@ struct Solver {
         for (int k : wsupp) x[basic[k]] -= t * dirq * w[k];
         x[q] += t * dirq;
       }
+#ifdef TPULP_STATS
+      {
+        static long long p_iters = 0, p_flips = 0, p_ph1 = 0, p_wgt = 0;
+        ++p_iters;
+        if (phase1) ++p_ph1;
+        if (limit < t_max || rleave < 0) ++p_flips;
+        if (p_iters % 2000 == 0) {
+          long long big = 0;
+          for (int j = 0; j < N; ++j) if (pw[j] > 1.0 + 1e-12) ++big;
+          p_wgt = big;
+          fprintf(stderr,
+                  "[pstats] iters=%lld ph1=%lld flips=%lld pw>1=%lld\n",
+                  p_iters, p_ph1, p_flips, p_wgt);
+        }
+      }
+#endif
       // bound flip when the entering variable reaches its opposite bound
       // before any basic variable blocks (or no basic blocks at all).
       // No basis change: phase-2 reduced costs stay valid as-is.
@@ -934,8 +1010,15 @@ struct Solver {
         pd[jl] = -theta_d;   // alpha_jl = 1 (own basis column)
       }
       // primal devex update (column-space mirror of the dual loop's
-      // gamma update); reset the reference framework when weights go stale
-      double gq = pw[q];
+      // gamma update). The entering column's weight is refreshed EXACTLY
+      // for free: w = B^-1 a_q is in hand, so gamma_q = 1 + ||w||^2 —
+      // using the stale approximate pw[q] here left every weight at its
+      // initial 1.0 for the whole solve (i.e. silently Dantzig; the r5
+      // debug stats measured pw>1 = 0 after 30K pivots). Reset the
+      // reference framework when weights go stale.
+      double wq2 = 0.0;
+      for (int k : wsupp) wq2 += w[k] * w[k];
+      double gq = std::max(pw[q], 1.0 + wq2);
       double aq2 = aq * aq;
       for (int j : atouch) {
         if (j == q || vstat[j] == BASIC) continue;
