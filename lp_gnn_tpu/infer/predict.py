@@ -50,10 +50,15 @@ def mesh_from_cfg(cfg):
 
 
 def _jit_apply(model: Model):
-    fn = _JIT_CACHE.get(id(model))
-    if fn is None:
-        fn = jax.jit(partial(model.apply, train=False))
-        _JIT_CACHE[id(model)] = fn
+    # the cache entry holds the model itself: a bare id() key can be REUSED
+    # by a new model after the old one is garbage-collected, silently
+    # serving the wrong compiled apply (caught by
+    # tests/test_pipeline.py::test_timed_inference_median_of_3)
+    ent = _JIT_CACHE.get(id(model))
+    if ent is not None and ent[0] is model:
+        return ent[1]
+    fn = jax.jit(partial(model.apply, train=False))
+    _JIT_CACHE[id(model)] = (model, fn)
     return fn
 
 

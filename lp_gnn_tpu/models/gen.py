@@ -64,10 +64,14 @@ def _segment_softmax_agg(logits, values, seg, num_seg, emask):
     if os.environ.get("LP_GNN_GEN_FUSE", "1") == "1":
         # fp32 ACCUMULATION over the low-precision edge stream: the cast is
         # element-wise and fuses into the scatter's operand, so HBM still
-        # only carries the input-dtype tensors
-        stacked = jnp.concatenate([ex * values, ex], axis=1).astype(jnp.float32)
+        # only carries the input-dtype tensors. LP_GNN_GEN_ACC=input keeps
+        # the accumulator in the input dtype too (probe knob: measures how
+        # much of the step the fp32 accumulate/cotangent width costs).
+        acc = (logits.dtype if os.environ.get("LP_GNN_GEN_ACC", "") == "input"
+               else jnp.float32)
+        stacked = jnp.concatenate([ex * values, ex], axis=1).astype(acc)
         s = jax.ops.segment_sum(stacked, seg, num_segments=num_seg,
-                                indices_are_sorted=True)
+                                indices_are_sorted=True).astype(jnp.float32)
         d = values.shape[1]
         return s[:, :d] / jnp.maximum(s[:, d:], 1e-16)
     num = jax.ops.segment_sum((ex * values).astype(jnp.float32), seg,

@@ -1110,9 +1110,55 @@ def dist_focal_loss(lc, lv, y_s, y_t, mask_s, mask_t, ax,
     return (1.0 - pt) ** gamma * ce
 
 
+def dist_critical_loss(lc, lv, y_s, y_t, mask_s, mask_t, ax,
+                       alpha: float = 4.0, tau: float = 0.05):
+    """Distributed basis-criticality-weighted loss — identical value to
+    train/losses.critical on the gathered graph. The decode threshold
+    (the m-th largest P(basic)) is a global order statistic, so the single
+    P(basic) CHANNEL is all-gathered (1 float per node — negligible next
+    to the layer collectives) and theta computed identically on every
+    shard; the criticality weights then multiply the local class weights
+    inside the psum-reduced weighted CE."""
+    fs = mask_s.astype(jnp.float32)
+    ft = mask_t.astype(jnp.float32)
+    m = jax.lax.psum(jnp.sum(fs), ax)
+    n = jax.lax.psum(jnp.sum(ft), ax)
+    p_c = jax.nn.softmax(lc.astype(jnp.float32), axis=-1)[:, 1]
+    p_v = jax.nn.softmax(lv.astype(jnp.float32), axis=-1)[:, 1]
+    pm_loc = jnp.concatenate([jnp.where(mask_s, p_c, -jnp.inf),
+                              jnp.where(mask_t, p_v, -jnp.inf)])
+    p_all = jax.lax.all_gather(pm_loc, ax, axis=0, tiled=True)
+    s = jnp.sort(p_all)[::-1]
+    m_int = m.astype(jnp.int32)
+    theta = s[jnp.clip(m_int - 1, 0, s.shape[0] - 1)]
+
+    def crit(p):
+        w = 1.0 + alpha * jnp.exp(-(p - theta) ** 2 / (2.0 * tau * tau))
+        return jax.lax.stop_gradient(jnp.where(jnp.isfinite(w), w, 1.0))
+
+    def side(logits, y, f, node_w):
+        cnt = jnp.stack([jax.lax.psum(jnp.sum((y == k) * f), ax)
+                         for k in range(3)])
+        total = cnt.sum()
+        wei = jnp.where(cnt > 0, total / jnp.maximum(cnt, 1), 0.0)
+        n_present = jnp.sum(cnt > 0)
+        merged = wei.at[0].set((wei[0] + wei[2]) / 2.0).at[2].set(
+            (wei[0] + wei[2]) / 2.0)
+        wei = jnp.where(n_present != 2, merged, wei)
+        w = wei[y] * f * node_w
+        num = jax.lax.psum(jnp.sum(w * _ce(logits, y)), ax)
+        den = jax.lax.psum(jnp.sum(w), ax)
+        return num / jnp.maximum(den, 1e-12)
+
+    loss = (m + n) / jnp.maximum(m, 1.0) * side(lc, y_s, fs, crit(p_c))
+    loss += (m + n) / jnp.maximum(n, 1.0) * side(lv, y_t, ft, crit(p_v))
+    return loss
+
+
 DIST_LOSSES = {"balanced": dist_balanced_loss,
                "unbalanced": dist_unbalanced_loss,
-               "focal": dist_focal_loss}
+               "focal": dist_focal_loss,
+               "critical": dist_critical_loss}
 
 
 # ------------------------------------------------------------------- wrappers

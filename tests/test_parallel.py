@@ -80,12 +80,12 @@ def test_dist_train_step_matches_single_chip(rng):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
 
 
-@pytest.mark.parametrize("n_shards", [
-    2,
-    pytest.param(4, marks=pytest.mark.slow),
-    pytest.param(8, marks=pytest.mark.slow),
-])
+@pytest.mark.slow
+@pytest.mark.parametrize("n_shards", [2, 4, 8])
 def test_halo_forward_matches_all_gather(rng, n_shards):
+    # fast-profile cover: test_halo_train_step_matches_single_chip[2]
+    # runs the same halo forward inside the loss plus the gather/reduce
+    # VJPs (r5 test-budget rebalance, VERDICT item 9)
     """partition_graph(halo=True) must reproduce both the single-chip and
     the all-gather-path logits: the compact halo buffer carries exactly the
     boundary rows each shard's edges reference."""
@@ -251,6 +251,7 @@ def test_dist_gen_train_step_matches_single_chip(rng):
                                        atol=1e-5, err_msg=f"halo={halo}")
 
 
+@pytest.mark.slow
 def test_dist_focal_train_step_matches_single_chip(rng):
     """--loss focal --mesh_shape edge=K must work (round-2 VERDICT: focal
     was missing from DIST_LOSSES and KeyError'ed) and one edge-partitioned
@@ -349,7 +350,7 @@ def test_dist_inference_via_model_inference(rng):
     from lp_gnn_tpu.infer.predict import model_inference
     from tests.test_sampling import make_graph
     g = make_graph(rng, m=40, n=70, e=300)
-    model = build_model("GCN_FC(8,8,hids=16,depth=3)")
+    model = build_model("GCN_FC(8,8,hids=8,depth=2)")
     params = model.init(jax.random.PRNGKey(0))
     lc_ref, lv_ref = model_inference(model, params, g)
     mesh = make_mesh({"edge": 4})
@@ -374,7 +375,9 @@ def test_inference_partition_cached_once(rng, monkeypatch):
         return orig(*a, **k)
 
     monkeypatch.setattr(EP, "partition_graph", counted)
-    model = build_model("GCN_FC(8,8,hids=16,depth=3)")
+    # cache-count behavior is model-independent: the comm-free GCNRand
+    # dist apply keeps this a seconds-scale fast test (r5 rebalance)
+    model = build_model("GCNRand()")
     params = model.init(jax.random.PRNGKey(0))
     mesh = make_mesh({"edge": 2})
     cache: dict = {}
@@ -556,6 +559,7 @@ def test_dp_edge_step_matches_serial(rng, arch, halo):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_dp_edge_input_agg_cache_exact(rng):
     """partition_batch(input_agg_mesh=...) must leave the combined step
     bit-identical: the input conv's aggregation is a per-graph constant
@@ -722,3 +726,34 @@ def test_pallas_halo_a2a_matches_xla(rng):
         del os.environ["LP_GNN_HALO"]
     np.testing.assert_array_equal(np.asarray(lc0), np.asarray(lc1))
     np.testing.assert_array_equal(np.asarray(lv0), np.asarray(lv1))
+
+
+def test_dist_critical_train_step_matches_single_chip(rng):
+    """--loss critical --mesh_shape edge=K: one edge-partitioned critical
+    step must equal the single-chip critical step (the decode threshold is
+    a global order statistic — the dist loss all-gathers the P(basic)
+    channel to compute it identically on every shard)."""
+    import optax
+    from lp_gnn_tpu.train.losses import critical
+    pg = make_pg(rng, m=24, n=40, e=150)
+    model = build_model("GCN_FC(8,8,hids=16,depth=3)")
+    params = model.init(jax.random.PRNGKey(0))
+    optimizer = make_optimizer("sgd")
+
+    def single_loss(p):
+        lc, lv = model.apply(p, pg, train=False)
+        ms, mt = seed_masks(pg)
+        return critical(lc, lv, pg.y_s, pg.y_t, ms, mt)
+
+    loss_ref, grads_ref = jax.value_and_grad(single_loss)(params)
+    upd_ref, _ = optimizer.update(grads_ref, optimizer.init(params), params)
+    p_ref = optax.apply_updates(params,
+                                jax.tree.map(lambda u: -1e-3 * u, upd_ref))
+    mesh = make_mesh({"edge": 2})
+    dg = partition_graph(pg, 2, halo=True)
+    step = make_dist_train_step("critical", optimizer, mesh, dp_rate=0.0)
+    p2, _, loss = step(params, optimizer.init(params), dg,
+                       jax.random.PRNGKey(1), jnp.float32(1e-3))
+    assert np.isclose(float(loss), float(loss_ref), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(p2), jax.tree.leaves(p_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)

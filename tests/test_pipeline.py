@@ -379,6 +379,7 @@ def test_train_dp_with_sampled_graphs(tiny_cfg):
     assert osp.exists(ckpt)
 
 
+@pytest.mark.slow
 def test_train_edge_partitioned(tiny_cfg):
     """--mesh_shape edge=4 with a tiny edge_num_thresh routes every train
     graph through the edge-partitioned full-graph step (the CLI-reachable
@@ -386,6 +387,8 @@ def test_train_edge_partitioned(tiny_cfg):
     and still produces a usable checkpoint."""
     import dataclasses
     from lp_gnn_tpu.train.trainer import run_exp
+    # fast-profile cover: test_train_dp_edge_combined routes its leftover
+    # graph through this same single-graph edge-partitioned step
     cfg = dataclasses.replace(tiny_cfg, exp_nm="t-edge", epochs=1,
                               mesh_shape="edge=2", edge_num_thresh=1.0)
     cfg.finalize()
@@ -394,7 +397,7 @@ def test_train_edge_partitioned(tiny_cfg):
 
 
 @pytest.mark.parametrize("arch,exp", [
-    ("GCN_FC(8,8,hids=32,depth=3)", "t-dpedge"),
+    ("GCN_FC(8,8,hids=16,depth=3)", "t-dpedge"),
     pytest.param("GENDeeper(8,8,hids=16,depth=4)", "t-dpedge-gen",
                  marks=pytest.mark.slow),
 ])
@@ -417,7 +420,10 @@ def test_train_dp_edge_combined(tiny_cfg, arch, exp):
     assert len(log.strip().splitlines()) > 0
 
 
+@pytest.mark.slow
 def test_validation_with_edge_mesh_matches(tiny_cfg):
+    # fast-profile cover: test_dist_inference_via_model_inference pins the
+    # mesh inference parity; this adds only the validation() plumbing
     """validation() with --mesh_shape edge=4 (distributed inference on
     every oversize graph) scores the same accuracy as the single-chip
     full-graph path."""
