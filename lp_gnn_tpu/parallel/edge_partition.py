@@ -1127,10 +1127,20 @@ def dist_critical_loss(lc, lv, y_s, y_t, mask_s, mask_t, ax,
     p_v = jax.nn.softmax(lv.astype(jnp.float32), axis=-1)[:, 1]
     pm_loc = jnp.concatenate([jnp.where(mask_s, p_c, -jnp.inf),
                               jnp.where(mask_t, p_v, -jnp.inf)])
-    p_all = jax.lax.all_gather(pm_loc, ax, axis=0, tiled=True)
-    s = jnp.sort(p_all)[::-1]
+    # bisection threshold with psum'ed counts — same iteration count and
+    # arithmetic as the serial _decode_threshold, so theta is bit-identical
+    # to the single-chip loss (and no full-width all_gather is needed)
     m_int = m.astype(jnp.int32)
-    theta = s[jnp.clip(m_int - 1, 0, s.shape[0] - 1)]
+
+    def bis(_, lohi):
+        lo, hi = lohi
+        mid = 0.5 * (lo + hi)
+        cnt = jax.lax.psum(jnp.sum(pm_loc >= mid), ax)
+        take = cnt >= m_int
+        return (jnp.where(take, mid, lo), jnp.where(take, hi, mid))
+
+    theta, _hi = jax.lax.fori_loop(
+        0, 24, bis, (jnp.zeros((), jnp.float32), jnp.ones((), jnp.float32)))
 
     def crit(p):
         w = 1.0 + alpha * jnp.exp(-(p - theta) ** 2 / (2.0 * tau * tau))
