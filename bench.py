@@ -71,6 +71,15 @@ DEPTH = int(os.environ.get("BENCH_DEPTH", 3 if ARCH == "GCN_FC" else 5))
 # otherwise; see RESULTS.md r4 zoo bench) and defaulted on for it.
 REMAT = os.environ.get("BENCH_REMAT",
                        "1" if ARCH == "GENDeeper" else "0") == "1"
+# GEN archs default to the global-max softmax shift (LP_GNN_GEN_MAX=global):
+# mathematically identical to the per-segment max (softmax shift
+# invariance; equivalence test in tests/test_models.py), and it replaces a
+# ~40 GB/s-equivalent sorted-scatter pass with a 948 GB/s stream reduce
+# (scripts/probe_gen_floor.py). The framework default stays "seg" for
+# bitwise parity with the distributed softmax twins; the knob used is
+# recorded in the JSON line.
+if "GEN" in ARCH:
+    os.environ.setdefault("LP_GNN_GEN_MAX", "global")
 _REMAT_KW = ",remat=True" if REMAT else ""
 SPMM_PER_EDGE = 6  # 2 convs x 2 directions fwd + hidden conv x 2 bwd
 # XLA scatter-add segment-sum path on the same chip/shape (the naive port):
@@ -344,6 +353,8 @@ def main():
     if ARCH != "GCN_FC" or DEPTH != 3:
         out["arch"] = f"{ARCH}(hids={HIDS},depth={DEPTH})"
         out["traversals_per_edge"] = per_edge
+        if "GEN" in ARCH:
+            out["gen_max_mode"] = os.environ.get("LP_GNN_GEN_MAX", "seg")
     print(json.dumps(out))
 
 

@@ -51,16 +51,41 @@ def _segment_softmax_agg(logits, values, seg, num_seg, emask):
     ``ex`` stream, so one (E, 2D) scatter replaces two (E, D) ones)."""
     em = emask[:, None]
     ninf = jnp.array(-jnp.inf, logits.dtype)
-    mx = jax.ops.segment_max(jnp.where(em, logits, ninf), seg,
-                             num_segments=num_seg, indices_are_sorted=True)
-    mx = jnp.where(jnp.isfinite(mx), mx, jnp.zeros((), logits.dtype))
-    # the max shift cancels exactly in the softmax (per-segment alphas sum
-    # to 1), so its gradient is identically zero — stop it explicitly, as
-    # jax.nn.softmax does (also what makes the distributed pmax analog
-    # differentiable, parallel/edge_partition.py)
-    mx = jax.lax.stop_gradient(mx)
-    ex = jnp.where(em, jnp.exp(logits - mx[seg]), jnp.zeros((), logits.dtype))
     import os
+    if os.environ.get("LP_GNN_GEN_MAX", "seg") == "global":
+        # r5 probe finding (scripts/probe_gen_floor.py): the per-segment
+        # max is a full sorted-scatter pass (~12.9 ms at bench shapes,
+        # ~40 GB/s-equivalent) whose ONLY role is numeric range control —
+        # softmax is shift-invariant, so any constant shared by a
+        # segment's edges yields the IDENTICAL aggregate in exact
+        # arithmetic. A per-channel GLOBAL max is such a constant and
+        # costs one stream reduce (~0.6 ms, 948 GB/s). Underflow safety is
+        # unchanged vs fp32: bf16 carries fp32's 8-bit exponent, so
+        # exp(logits - gmax) underflows only past a ~87-unit logit spread
+        # within one segment — far beyond the layer-normed, eps-floored
+        # GEN message range (models/gen.py gen_dir_apply). Default stays
+        # "seg" because the distributed softmax twins
+        # (parallel/edge_partition.py) combine per-OWNER maxes and the
+        # dist-vs-single-chip parity suite asserts bitwise agreement;
+        # bench.py opts GEN archs into "global" (disclosed in its JSON).
+        mx = jnp.max(jnp.where(em, logits, ninf), axis=0)
+        mx = jnp.where(jnp.isfinite(mx), mx, jnp.zeros((), logits.dtype))
+        mx = jax.lax.stop_gradient(mx)
+        ex = jnp.where(em, jnp.exp(logits - mx[None, :]),
+                       jnp.zeros((), logits.dtype))
+    else:
+        mx = jax.ops.segment_max(jnp.where(em, logits, ninf), seg,
+                                 num_segments=num_seg,
+                                 indices_are_sorted=True)
+        mx = jnp.where(jnp.isfinite(mx), mx, jnp.zeros((), logits.dtype))
+        # the max shift cancels exactly in the softmax (per-segment alphas
+        # sum to 1), so its gradient is identically zero — stop it
+        # explicitly, as jax.nn.softmax does (also what makes the
+        # distributed pmax analog differentiable,
+        # parallel/edge_partition.py)
+        mx = jax.lax.stop_gradient(mx)
+        ex = jnp.where(em, jnp.exp(logits - mx[seg]),
+                       jnp.zeros((), logits.dtype))
     if os.environ.get("LP_GNN_GEN_FUSE", "1") == "1":
         # fp32 ACCUMULATION over the low-precision edge stream: the cast is
         # element-wise and fuses into the scatter's operand, so HBM still

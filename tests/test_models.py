@@ -397,6 +397,40 @@ def test_gen_padding_edges_do_not_contaminate(rng):
     np.testing.assert_allclose(np.asarray(r1), np.asarray(r2), atol=1e-5)
 
 
+def test_gen_global_max_mode_matches_segment_max(rng, monkeypatch):
+    """LP_GNN_GEN_MAX=global replaces the per-segment softmax max with a
+    per-channel global max (r5 probe lever, scripts/probe_gen_floor.py).
+    Softmax is shift-invariant, so outputs AND gradients must agree with
+    the default segment-max mode to fp32 rounding."""
+    from lp_gnn_tpu.models.gen import gen_bidir_init, gen_bidir_apply
+    m, n, e = 64, 96, 300
+    g = BipartiteGraph(row=rng.randint(0, m, e).astype(np.int32),
+                       col=rng.randint(0, n, e).astype(np.int32),
+                       val=(rng.rand(e).astype(np.float32) - 0.5),
+                       c_feas=rng.rand(m, 8).astype(np.float32),
+                       v_feas=rng.rand(n, 8).astype(np.float32),
+                       y_s=np.zeros(m, np.int32), y_t=np.zeros(n, np.int32))
+    pg = pad_graph(g)
+    params = gen_bidir_init(jax.random.PRNGKey(0), 8, 8, 16)
+    xl, xr = jnp.asarray(pg.c_feas), jnp.asarray(pg.v_feas)
+
+    def loss(ps):
+        l, r = gen_bidir_apply(ps, pg, xl, xr)
+        return jnp.sum(l ** 2) + jnp.sum(r ** 2)
+
+    outs = {}
+    for mode in ("seg", "global"):
+        monkeypatch.setenv("LP_GNN_GEN_MAX", mode)
+        (l, r), gr = (gen_bidir_apply(params, pg, xl, xr),
+                      jax.grad(loss)(params))
+        outs[mode] = (np.asarray(l), np.asarray(r), gr)
+    np.testing.assert_allclose(outs["seg"][0], outs["global"][0], atol=1e-5)
+    np.testing.assert_allclose(outs["seg"][1], outs["global"][1], atol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(outs["seg"][2]),
+                    jax.tree_util.tree_leaves(outs["global"][2])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
 def test_gen_mismatched_side_dims(rng):
     """lin_src/lin_dst projections (reference GENConv dimension plumbing)
     let the two sides carry different widths."""
