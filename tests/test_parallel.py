@@ -191,7 +191,11 @@ def test_halo_wire_volume_small_on_banded_graph(rng):
 
 
 @pytest.mark.parametrize("arch,halo", [
-    ("GCN(8,8,hids=16)", True),
+    # fast profile keeps only GENDeeper+halo — the one arch exercising the
+    # compact-halo segment softmax, which no other fast test covers; the
+    # GraphConv-family dist behavior is covered fast by the flagship
+    # GCN_FC parity tests above (r5 profile rebalance, VERDICT r04 item 9)
+    pytest.param("GCN(8,8,hids=16)", True, marks=pytest.mark.slow),
     pytest.param("GCNDeeper(8,8,hids=16,depth=5)", True,
                  marks=pytest.mark.slow),
     pytest.param("GENDeeper(8,8,hids=16,depth=4)", False,
@@ -728,11 +732,19 @@ def test_pallas_halo_a2a_matches_xla(rng):
     np.testing.assert_array_equal(np.asarray(lv0), np.asarray(lv1))
 
 
+@pytest.mark.slow
 def test_dist_critical_train_step_matches_single_chip(rng):
     """--loss critical --mesh_shape edge=K: one edge-partitioned critical
     step must equal the single-chip critical step (the decode threshold is
     a global order statistic — the dist loss all-gathers the P(basic)
-    channel to compute it identically on every shard)."""
+    channel to compute it identically on every shard).
+
+    slow: the critical loss keeps its fast test single-chip
+    (test_models.py::test_critical_loss_boundary_weighting) and the
+    generic dist train parity stays fast
+    (test_dist_train_step_matches_single_chip); this twin re-verifies
+    their composition, an ~80 s shard_map compile (r5 profile rebalance).
+    """
     import optax
     from lp_gnn_tpu.train.losses import critical
     pg = make_pg(rng, m=24, n=40, e=150)
